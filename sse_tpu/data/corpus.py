@@ -1,0 +1,199 @@
+"""Corpus schema + encoding.
+
+Reference file-format parity (SURVEY.md §2.1 "Demo datasets" row):
+  * ``TrainPairs`` / ``EvalPairs``: TSV, ``source_text \\t target_id`` where
+    target_id may be a ``,``/``|``-separated list (first entry is the
+    training label; the full set counts for recall@k).
+  * ``targetIDs``: TSV, ``target_id \\t target_text``.
+
+Encoding turns text into fixed-shape int32 token matrices
+(EOS-terminated, zero-padded to ``max_seq_length``) — static shapes are a
+TPU/XLA requirement (one compilation, MXU-friendly tiles), unlike the
+reference's feed_dict-shaped batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sse_tpu.text.subword import EOS_ID, SubwordVocab, token_counts_from_lines
+
+
+@dataclasses.dataclass
+class TargetSpace:
+    """The full encoded target corpus (the retrieval index's text side)."""
+
+    ids: List[str]  # external target ids, row order = label index
+    texts: List[str]
+    tokens: np.ndarray  # [T, L] int32, EOS-terminated, 0-padded
+    lengths: np.ndarray  # [T] int32 (including EOS)
+    id_to_row: Dict[str, int]
+
+    @property
+    def num_targets(self) -> int:
+        return len(self.ids)
+
+
+@dataclasses.dataclass
+class EncodedPairs:
+    """Encoded (source, label) pairs for training or evaluation."""
+
+    src: np.ndarray  # [N, L] int32
+    src_len: np.ndarray  # [N] int32
+    labels: np.ndarray  # [N] int32 target-space row index (first label)
+    label_sets: List[Tuple[int, ...]]  # all correct rows per example
+
+    @property
+    def num_examples(self) -> int:
+        return self.src.shape[0]
+
+
+# ---------------------------------------------------------------- raw TSVs
+def read_pairs_tsv(path: str) -> List[Tuple[str, List[str]]]:
+    """Read TrainPairs/EvalPairs: (source_text, [target_id, ...]) rows."""
+    rows: List[Tuple[str, List[str]]] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                continue
+            src, tgt = parts[0], parts[1]
+            tgt_ids = [t for t in tgt.replace("|", ",").split(",") if t]
+            if tgt_ids:
+                rows.append((src, tgt_ids))
+    return rows
+
+
+def read_targets_tsv(path: str) -> List[Tuple[str, str]]:
+    """Read targetIDs: (target_id, target_text) rows."""
+    rows: List[Tuple[str, str]] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) >= 2:
+                rows.append((parts[0], parts[1]))
+    return rows
+
+
+# ----------------------------------------------------------------- encoding
+def build_vocab(
+    vocab_size: int,
+    pair_rows: Sequence[Tuple[str, List[str]]],
+    target_rows: Sequence[Tuple[str, str]],
+    cache_path: Optional[str] = None,
+) -> SubwordVocab:
+    """Build (or load cached) subword vocab over sources + target texts.
+
+    Mirrors the reference's one-time vocab prep (SURVEY.md §3.5) including
+    the load-if-cached behavior keyed on the vocab file's existence.
+    """
+    if cache_path and os.path.exists(cache_path):
+        return SubwordVocab.load(cache_path)
+    lines = [src for src, _ in pair_rows] + [txt for _, txt in target_rows]
+    vocab = SubwordVocab.build_to_target_size(
+        vocab_size, token_counts_from_lines(lines)
+    )
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        vocab.save(cache_path)
+    return vocab
+
+
+def _encode_line(vocab: SubwordVocab, text: str, max_len: int) -> Tuple[np.ndarray, int]:
+    ids = vocab.encode(text)[: max_len - 1] + [EOS_ID]
+    arr = np.zeros((max_len,), dtype=np.int32)
+    arr[: len(ids)] = ids
+    return arr, len(ids)
+
+
+def encode_target_space(
+    vocab: SubwordVocab,
+    target_rows: Sequence[Tuple[str, str]],
+    max_seq_length: int,
+    cache_path: Optional[str] = None,
+) -> TargetSpace:
+    """Encode every target once (reference's encodeFullTargetSpace analog,
+    SURVEY.md §2.1), with an .npz disk cache keyed on content."""
+    ids = [tid for tid, _ in target_rows]
+    texts = [txt for _, txt in target_rows]
+    key = None
+    if cache_path:
+        h = hashlib.sha256()
+        h.update(repr((max_seq_length, vocab.vocab_size)).encode())
+        for tid, txt in target_rows:
+            h.update(tid.encode())
+            h.update(txt.encode())
+        key = h.hexdigest()[:16]
+        if os.path.exists(cache_path):
+            with np.load(cache_path, allow_pickle=False) as z:
+                if str(z["key"]) == key:
+                    return TargetSpace(
+                        ids=ids,
+                        texts=texts,
+                        tokens=z["tokens"],
+                        lengths=z["lengths"],
+                        id_to_row={t: i for i, t in enumerate(ids)},
+                    )
+    tokens = np.zeros((len(ids), max_seq_length), dtype=np.int32)
+    lengths = np.zeros((len(ids),), dtype=np.int32)
+    for i, txt in enumerate(texts):
+        tokens[i], lengths[i] = _encode_line(vocab, txt, max_seq_length)
+    if cache_path and key is not None:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        np.savez(cache_path, key=key, tokens=tokens, lengths=lengths)
+    return TargetSpace(
+        ids=ids,
+        texts=texts,
+        tokens=tokens,
+        lengths=lengths,
+        id_to_row={t: i for i, t in enumerate(ids)},
+    )
+
+
+def encode_pairs(
+    vocab: SubwordVocab,
+    pair_rows: Sequence[Tuple[str, List[str]]],
+    target_space: TargetSpace,
+    max_seq_length: int,
+    drop_unknown_targets: bool = True,
+) -> EncodedPairs:
+    """Encode pair rows against a target space; unknown target ids are
+    dropped (with the reference's forgiving behavior) or raise."""
+    srcs: List[np.ndarray] = []
+    lens: List[int] = []
+    labels: List[int] = []
+    label_sets: List[Tuple[int, ...]] = []
+    for src_text, tgt_ids in pair_rows:
+        rows = [
+            target_space.id_to_row[t]
+            for t in tgt_ids
+            if t in target_space.id_to_row
+        ]
+        if not rows:
+            if drop_unknown_targets:
+                continue
+            raise KeyError(f"no known target ids in {tgt_ids!r}")
+        arr, n = _encode_line(vocab, src_text, max_seq_length)
+        srcs.append(arr)
+        lens.append(n)
+        labels.append(rows[0])
+        label_sets.append(tuple(rows))
+    if not srcs:
+        raise ValueError("no usable pairs after encoding")
+    return EncodedPairs(
+        src=np.stack(srcs),
+        src_len=np.asarray(lens, dtype=np.int32),
+        labels=np.asarray(labels, dtype=np.int32),
+        label_sets=label_sets,
+    )

@@ -1,0 +1,134 @@
+"""L1 data layer tests: schema IO, encoding shapes/caching, batching
+determinism + per-host sharding, synthetic corpus structure."""
+
+import numpy as np
+import pytest
+
+from sse_tpu.data import (
+    BatchIterator,
+    build_vocab,
+    encode_pairs,
+    encode_target_space,
+    read_pairs_tsv,
+    read_targets_tsv,
+    synthetic,
+)
+from sse_tpu.text.subword import EOS_ID
+
+L = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    train, ev, targets = synthetic.make_corpus(
+        num_targets=8, train_per_target=6, eval_per_target=2, seed=3
+    )
+    synthetic.write_corpus(str(d), train, ev, targets)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def encoded(corpus, tmp_path_factory):
+    work = tmp_path_factory.mktemp("work")
+    train_rows = read_pairs_tsv(f"{corpus}/TrainPairs")
+    target_rows = read_targets_tsv(f"{corpus}/targetIDs")
+    vocab = build_vocab(300, train_rows, target_rows, str(work / "vocab.txt"))
+    tspace = encode_target_space(
+        vocab, target_rows, L, str(work / "targets.npz")
+    )
+    pairs = encode_pairs(vocab, train_rows, tspace, L)
+    return vocab, tspace, pairs, work, target_rows, train_rows
+
+
+def test_tsv_round_trip(corpus):
+    train = read_pairs_tsv(f"{corpus}/TrainPairs")
+    targets = read_targets_tsv(f"{corpus}/targetIDs")
+    assert len(train) == 8 * 6
+    assert len(targets) == 8
+    assert all(len(tids) >= 1 for _, tids in train)
+
+
+def test_encoding_shapes(encoded):
+    vocab, tspace, pairs, *_ = encoded
+    assert tspace.tokens.shape == (8, L)
+    assert tspace.tokens.dtype == np.int32
+    # every row EOS-terminated at position length-1
+    for i in range(tspace.num_targets):
+        assert tspace.tokens[i, tspace.lengths[i] - 1] == EOS_ID
+        assert (tspace.tokens[i, tspace.lengths[i] :] == 0).all()
+    assert pairs.src.shape[1] == L
+    assert pairs.labels.max() < tspace.num_targets
+
+
+def test_target_cache_hit(encoded):
+    vocab, tspace, _, work, target_rows, _ = encoded
+    t2 = encode_target_space(vocab, target_rows, L, str(work / "targets.npz"))
+    np.testing.assert_array_equal(t2.tokens, tspace.tokens)
+
+
+def test_vocab_cache_hit(encoded, corpus):
+    vocab, _, _, work, target_rows, train_rows = encoded
+    v2 = build_vocab(300, train_rows, target_rows, str(work / "vocab.txt"))
+    assert v2.vocab_size == vocab.vocab_size
+
+
+def test_batch_iterator_static_shapes(encoded):
+    _, _, pairs, *_ = encoded
+    it = BatchIterator(pairs, global_batch_size=16, seed=1)
+    batches = list(it.epoch_batches(0))
+    assert len(batches) == it.steps_per_epoch
+    for b in batches:
+        assert b.src.shape == (16, L)
+        assert b.weight.shape == (16,)
+    # padding rows only in the last batch; weights mark them
+    total_weight = sum(b.weight.sum() for b in batches)
+    assert total_weight == pairs.num_examples
+
+
+def test_batch_iterator_deterministic(encoded):
+    _, _, pairs, *_ = encoded
+    a = list(BatchIterator(pairs, 16, seed=7).epoch_batches(2))
+    b = list(BatchIterator(pairs, 16, seed=7).epoch_batches(2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.src, y.src)
+
+
+def test_per_host_sharding_partitions(encoded):
+    """Two fake hosts together must cover exactly the single-host batch."""
+    _, _, pairs, *_ = encoded
+    full = list(BatchIterator(pairs, 16, seed=5).epoch_batches(0))
+    h0 = list(
+        BatchIterator(pairs, 16, seed=5, process_index=0, process_count=2)
+        .epoch_batches(0)
+    )
+    h1 = list(
+        BatchIterator(pairs, 16, seed=5, process_index=1, process_count=2)
+        .epoch_batches(0)
+    )
+    assert len(h0) == len(h1) == len(full)
+    for f, a, b in zip(full, h0, h1):
+        assert a.src.shape == (8, L) and b.src.shape == (8, L)
+        # real (weight>0) rows of the two host shards == real rows of global
+        real = lambda batch: {
+            tuple(batch.src[i])
+            for i in range(len(batch.weight))
+            if batch.weight[i] > 0
+        }
+        assert real(a) | real(b) == real(f)
+
+
+@pytest.mark.parametrize("task", ["classification", "ranking", "crosslingual", "qna"])
+def test_synthetic_tasks(task):
+    train, ev, targets = synthetic.make_corpus(
+        task=task, num_targets=4, train_per_target=3, eval_per_target=1
+    )
+    assert len(targets) == 4
+    assert len(train) == 12
+    if task == "crosslingual":
+        # source vocabulary must be disjoint from target text vocabulary
+        tgt_words = {w for _, t in targets for w in t.split()}
+        src_words = {
+            w for s, _ in train for w in s.split() if len(w) == 8
+        }  # 4-syllable source-language words
+        assert src_words and not (src_words & tgt_words)
