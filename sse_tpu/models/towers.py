@@ -1,0 +1,321 @@
+"""Encoder towers: GRU / LSTM / transformer → fixed-size normalized vector.
+
+Reference parity: sse_model.py's ``dynamic_rnn`` LSTM/GRU encoders with
+final-state → linear+tanh → L2-normalize readout (SURVEY.md §2.1 model row).
+TPU-native design choices:
+
+  * fused gate matmuls — one [B, E+H] x [E+H, kH] product per step keeps the
+    MXU busy instead of 2k small products;
+  * bfloat16 operands, float32 accumulation (preferred_element_type), float32
+    carry for recurrent stability;
+  * time-major masked `lax.scan`: params are loop-invariant (stay in VMEM /
+    registers across steps under XLA), padding steps freeze the carry so the
+    final carry IS the state at each row's own length — no gather;
+  * static shapes everywhere ([B, L] fixed) → single compilation.
+
+The scan recurrence has a drop-in Pallas replacement in
+sse_tpu/ops/pallas_rnn.py (SURVEY.md §2.4 native-tier item (a)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+_COMPUTE_DTYPE = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerConfig:
+    vocab_size: int
+    embed_dim: int = 128  # reference: word embedding_size
+    hidden: int = 128  # reference: src_cell_size / tgt_cell_size
+    num_layers: int = 1  # reference: num_layers
+    encoding_dim: int = 64  # reference: encoding_size (shared space)
+    cell: str = "gru"  # gru | lstm | transformer
+    # transformer-only:
+    num_heads: int = 4
+    mlp_ratio: int = 4
+    max_len: int = 512
+    use_pallas_scan: bool = False  # swap in the Pallas fused-gate kernel
+
+
+def _glorot(key, shape):
+    fan_in, fan_out = shape[-2], shape[-1]
+    scale = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+# ----------------------------------------------------------------- init
+def init_tower(key: jax.Array, cfg: TowerConfig) -> Params:
+    keys = jax.random.split(key, 4 + cfg.num_layers)
+    p: Params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, cfg.embed_dim))
+        * 0.05,
+        "proj_w": _glorot(keys[1], (cfg.hidden, cfg.encoding_dim)),
+        "proj_b": jnp.zeros((cfg.encoding_dim,)),
+    }
+    if cfg.cell in ("gru", "lstm"):
+        n_gates = 3 if cfg.cell == "gru" else 4
+        layers = []
+        for l in range(cfg.num_layers):
+            in_dim = cfg.embed_dim if l == 0 else cfg.hidden
+            k1, k2 = jax.random.split(keys[2 + l])
+            layers.append(
+                {
+                    # single fused kernel over [x; h] for one MXU call/step
+                    "w": jnp.concatenate(
+                        [
+                            _glorot(k1, (in_dim, n_gates * cfg.hidden)),
+                            _glorot(k2, (cfg.hidden, n_gates * cfg.hidden)),
+                        ],
+                        axis=0,
+                    ),
+                    "b": jnp.zeros((n_gates * cfg.hidden,)),
+                }
+            )
+        p["layers"] = layers
+    elif cfg.cell == "transformer":
+        d = cfg.embed_dim
+        if d != cfg.hidden:
+            raise ValueError("transformer tower requires embed_dim == hidden")
+        blocks = []
+        for l in range(cfg.num_layers):
+            ks = jax.random.split(keys[2 + l], 6)
+            blocks.append(
+                {
+                    "ln1_scale": jnp.ones((d,)),
+                    "ln1_bias": jnp.zeros((d,)),
+                    "qkv_w": _glorot(ks[0], (d, 3 * d)),
+                    "qkv_b": jnp.zeros((3 * d,)),
+                    "attn_out_w": _glorot(ks[1], (d, d)),
+                    "attn_out_b": jnp.zeros((d,)),
+                    "ln2_scale": jnp.ones((d,)),
+                    "ln2_bias": jnp.zeros((d,)),
+                    "mlp_in_w": _glorot(ks[2], (d, cfg.mlp_ratio * d)),
+                    "mlp_in_b": jnp.zeros((cfg.mlp_ratio * d,)),
+                    "mlp_out_w": _glorot(ks[3], (cfg.mlp_ratio * d, d)),
+                    "mlp_out_b": jnp.zeros((d,)),
+                }
+            )
+        p["blocks"] = blocks
+        p["ln_f_scale"] = jnp.ones((d,))
+        p["ln_f_bias"] = jnp.zeros((d,))
+    else:
+        raise ValueError(f"unknown cell {cfg.cell!r}")
+    return p
+
+
+# ------------------------------------------------------------ rnn towers
+def _gru_step(w, b, x, h):
+    """Fused GRU step. x [B,E] h [B,H] -> h' [B,H]. fp32 carry."""
+    H = h.shape[-1]
+    xh = jnp.concatenate([x, h.astype(_COMPUTE_DTYPE)], axis=-1)
+    gates = (
+        jnp.dot(xh, w.astype(_COMPUTE_DTYPE), preferred_element_type=jnp.float32)
+        + b
+    )
+    z, r, n_pre = jnp.split(gates, 3, axis=-1)
+    # Fully-fused GRU variant: one [x;h] matmul per step (vs. textbook GRU's
+    # reset gate applied to h *before* its candidate matmul, which would cost
+    # a second sequential MXU call). The reset gate instead scales the whole
+    # candidate pre-activation: h' = z*h + (1-z)*tanh(r ⊙ n_pre).
+    z = jax.nn.sigmoid(z)
+    r = jax.nn.sigmoid(r)
+    n = jnp.tanh(n_pre * r)
+    return (1.0 - z) * n + z * h
+
+
+def _lstm_step(w, b, x, state):
+    h, c = state
+    xh = jnp.concatenate([x, h.astype(_COMPUTE_DTYPE)], axis=-1)
+    gates = (
+        jnp.dot(xh, w.astype(_COMPUTE_DTYPE), preferred_element_type=jnp.float32)
+        + b
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _rnn_layer(
+    layer: Params, xs: jax.Array, mask: jax.Array, cell: str
+) -> Tuple[jax.Array, jax.Array]:
+    """Run one RNN layer. xs [L,B,E] (compute dtype), mask [L,B,1] fp32.
+    Returns (outputs [L,B,H] compute dtype, final hidden [B,H] fp32)."""
+    B = xs.shape[1]
+    H = layer["w"].shape[1] // (3 if cell == "gru" else 4)
+    w, b = layer["w"], layer["b"]
+
+    if cell == "gru":
+        h0 = jnp.zeros((B, H), jnp.float32)
+
+        def step(h, inp):
+            x_t, m_t = inp
+            h_new = _gru_step(w, b, x_t, h)
+            h = m_t * h_new + (1.0 - m_t) * h  # freeze carry past length
+            return h, h.astype(_COMPUTE_DTYPE)
+
+        h_fin, ys = jax.lax.scan(step, h0, (xs, mask))
+        return ys, h_fin
+    else:
+        state0 = (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
+
+        def step(state, inp):
+            x_t, m_t = inp
+            h, c = state
+            h_new, c_new = _lstm_step(w, b, x_t, state)
+            h = m_t * h_new + (1.0 - m_t) * h
+            c = m_t * c_new + (1.0 - m_t) * c
+            return (h, c), h.astype(_COMPUTE_DTYPE)
+
+        (h_fin, _), ys = jax.lax.scan(step, state0, (xs, mask))
+        return ys, h_fin
+
+
+# ------------------------------------------------------ transformer tower
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _sinusoid_table(max_len: int, dim: int) -> np.ndarray:
+    pos = np.arange(max_len)[:, None]
+    i = np.arange(dim // 2)[None, :]
+    ang = pos / np.power(10000.0, 2.0 * i / dim)
+    table = np.zeros((max_len, dim), np.float32)
+    table[:, 0::2] = np.sin(ang)
+    table[:, 1::2] = np.cos(ang)
+    return table
+
+
+def _transformer_encode(
+    p: Params, cfg: TowerConfig, x: jax.Array, valid: jax.Array
+) -> jax.Array:
+    """x [B,L,E] fp32 embeddings, valid [B,L] float 0/1 → pooled [B,H]."""
+    B, L, d = x.shape
+    x = x + jnp.asarray(_sinusoid_table(cfg.max_len, d))[None, :L]
+    neg_inf = jnp.finfo(jnp.float32).min
+    attn_bias = jnp.where(valid[:, None, None, :] > 0, 0.0, neg_inf)  # [B,1,1,L]
+    nh, hd = cfg.num_heads, d // cfg.num_heads
+    for blk in p["blocks"]:
+        y = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        qkv = (
+            jnp.dot(
+                y.astype(_COMPUTE_DTYPE),
+                blk["qkv_w"].astype(_COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            + blk["qkv_b"]
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        logits = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk",
+                q.astype(_COMPUTE_DTYPE),
+                k.astype(_COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            / math.sqrt(hd)
+            + attn_bias
+        )
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            attn.astype(_COMPUTE_DTYPE),
+            v.astype(_COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, d)
+        x = x + (
+            jnp.dot(
+                ctx.astype(_COMPUTE_DTYPE),
+                blk["attn_out_w"].astype(_COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            + blk["attn_out_b"]
+        )
+        y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        h = jax.nn.gelu(
+            jnp.dot(
+                y.astype(_COMPUTE_DTYPE),
+                blk["mlp_in_w"].astype(_COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            + blk["mlp_in_b"]
+        )
+        x = x + (
+            jnp.dot(
+                h.astype(_COMPUTE_DTYPE),
+                blk["mlp_out_w"].astype(_COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            + blk["mlp_out_b"]
+        )
+    x = _layer_norm(x, p["ln_f_scale"], p["ln_f_bias"])
+    # masked mean pool (attention readout over states — the qna config's
+    # "attention readout" upgrade hooks in here)
+    denom = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+    return jnp.sum(x * valid[:, :, None], axis=1) / denom
+
+
+# ----------------------------------------------------------------- encode
+@partial(jax.jit, static_argnames=("cfg",))
+def encode(
+    params: Params,
+    cfg: TowerConfig,
+    tokens: jax.Array,  # [B, L] int32
+    lengths: jax.Array,  # [B] int32
+) -> jax.Array:
+    """Token ids → L2-normalized [B, encoding_dim] float32 embeddings."""
+    return encode_raw(params, cfg, tokens, lengths)
+
+
+def encode_raw(
+    params: Params, cfg: TowerConfig, tokens: jax.Array, lengths: jax.Array
+) -> jax.Array:
+    """Un-jitted body (so callers can fuse it into larger programs)."""
+    B, L = tokens.shape
+    emb = jnp.take(params["embed"], tokens, axis=0)  # [B,L,E] fp32
+    pos = jnp.arange(L)[None, :]
+    valid = (pos < lengths[:, None]).astype(jnp.float32)  # [B,L]
+
+    if cfg.cell in ("gru", "lstm"):
+        if cfg.use_pallas_scan:
+            from sse_tpu.ops import pallas_rnn  # lazy: optional fast path
+
+            final = pallas_rnn.rnn_encode(params, cfg, emb, valid)
+        else:
+            xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L,B,E]
+            mask = valid.T[:, :, None]  # [L,B,1]
+            final = None
+            for layer in params["layers"]:
+                xs, final = _rnn_layer(layer, xs, mask, cfg.cell)
+        feats = final  # [B,H] fp32
+    else:
+        feats = _transformer_encode(params, cfg, emb, valid)
+
+    out = jnp.tanh(
+        jnp.dot(
+            feats.astype(_COMPUTE_DTYPE),
+            params["proj_w"].astype(_COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        + params["proj_b"]
+    )
+    return out / jnp.maximum(
+        jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6
+    )

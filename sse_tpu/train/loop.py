@@ -1,0 +1,237 @@
+"""Train state + jitted train step + the outer training driver.
+
+Reference call-stack parity (SURVEY.md §3.1): the whole hot-loop body —
+both towers forward, similarity, softmax-negatives loss, backward, clipped
+update — is ONE donated XLA program. The outer Python loop only feeds
+batches, logs, checkpoints, evaluates every `steps_per_checkpoint`, and
+applies the reference's plateau LR decay (decay `lr` by
+`lr_decay_factor` when eval recall stops improving — the reference kept an
+in-graph decayable learning_rate variable; here `lr` is a state leaf so it
+checkpoints the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sse_tpu.data.batching import Batch, BatchIterator
+from sse_tpu.data.corpus import EncodedPairs, TargetSpace
+from sse_tpu.models import sse
+from sse_tpu.models.sse import NetworkMode, SSEConfig
+from sse_tpu.train import losses as losses_lib
+from sse_tpu.train.losses import LossConfig
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["params", "opt_state", "step", "lr"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    lr: jax.Array  # float32 scalar (plateau-decayed, checkpointed)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Reference flag-bundle analog (SURVEY.md §2.1 sse_main.py row)."""
+
+    batch_size: int = 64  # global batch
+    learning_rate: float = 0.5
+    learning_rate_decay_factor: float = 0.9
+    max_gradient_norm: float = 5.0
+    optimizer: str = "adam"  # adam | sgd
+    loss: LossConfig = LossConfig()
+    steps_per_checkpoint: int = 100
+    max_epochs: int = 10
+    seed: int = 0
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Direction-only transform; the (decayable) lr multiplies updates in
+    the step so plateau decay needs no opt_state rebuild."""
+    base = (
+        optax.scale_by_adam() if cfg.optimizer == "adam" else optax.identity()
+    )
+    return optax.chain(optax.clip_by_global_norm(cfg.max_gradient_norm), base)
+
+
+def init_train_state(
+    key: jax.Array, model_cfg: SSEConfig, cfg: TrainConfig
+) -> TrainState:
+    params = sse.init_params(key, model_cfg)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+    )
+
+
+def make_train_step(
+    model_cfg: SSEConfig,
+    cfg: TrainConfig,
+    donate: bool = True,
+) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted train step.
+
+    Signature of the returned fn:
+        step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens)
+    `tgt_tokens`/`tgt_lens` are the full device-resident target space (tower
+    modes gather candidates from them); pass zeros-shaped dummies in
+    source-encoder-only mode. Shardings follow the input arrays, so the same
+    step runs single-chip or pjit-sharded over a mesh unchanged.
+    """
+    tx = make_optimizer(cfg)
+    loss_cfg = cfg.loss
+    base_key = jax.random.PRNGKey(cfg.seed)
+
+    def loss_fn(params, src, src_len, labels, weight, tgt_tokens, tgt_lens, step):
+        src_emb = sse.encode_source(params, model_cfg, src, src_len)
+        if loss_cfg.kind == "full":
+            tgt_all = sse.target_embeddings(params, model_cfg)
+            return losses_lib.similarity_loss(
+                loss_cfg, src_emb, labels, weight, tgt_all=tgt_all
+            )
+        # inbatch / sampled: candidates = batch positives ∪ K uniform rows
+        cand_rows = labels
+        if loss_cfg.kind == "sampled":
+            key = jax.random.fold_in(base_key, step)
+            negs = losses_lib.sample_negative_rows(
+                key, tgt_tokens.shape[0], loss_cfg.num_negatives
+            )
+            cand_rows = jnp.concatenate([labels, negs])
+        if model_cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
+            cand_emb = sse.target_embeddings(
+                params, model_cfg, rows=cand_rows
+            )
+        else:
+            cand_emb = sse.target_embeddings(
+                params,
+                model_cfg,
+                tokens=jnp.take(tgt_tokens, cand_rows, axis=0),
+                lengths=jnp.take(tgt_lens, cand_rows, axis=0),
+            )
+        return losses_lib.similarity_loss(
+            loss_cfg,
+            src_emb,
+            labels,
+            weight,
+            cand_emb=cand_emb,
+            cand_rows=cand_rows,
+        )
+
+    def step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params,
+            src,
+            src_len,
+            labels,
+            weight,
+            tgt_tokens,
+            tgt_lens,
+            state.step,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        gnorm = optax.global_norm(updates)
+        params = jax.tree.map(
+            lambda p, u: p - state.lr * u, state.params, updates
+        )
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            lr=state.lr,
+        )
+        metrics = {"loss": loss, "accuracy": acc, "grad_norm": gnorm}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def train(
+    model_cfg: SSEConfig,
+    cfg: TrainConfig,
+    train_pairs: EncodedPairs,
+    target_space: TargetSpace,
+    *,
+    eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
+    eval_metric: str = "recall@1",
+    checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
+    log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
+    state: Optional[TrainState] = None,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> TrainState:
+    """The reference's sse_main.train() analog (SURVEY.md §3.1)."""
+    if state is None:
+        state = init_train_state(
+            jax.random.PRNGKey(cfg.seed), model_cfg, cfg
+        )
+    step_fn = make_train_step(model_cfg, cfg)
+    it = BatchIterator(
+        train_pairs,
+        cfg.batch_size,
+        seed=cfg.seed,
+        process_index=process_index,
+        process_count=process_count,
+    )
+    tgt_tokens = jnp.asarray(target_space.tokens)
+    tgt_lens = jnp.asarray(target_space.lengths)
+
+    best = -float("inf")
+    window_losses = []
+    t0 = time.perf_counter()
+    for epoch in range(cfg.max_epochs):
+        for batch in it.epoch_batches(epoch):
+            state, metrics = step_fn(
+                state,
+                jnp.asarray(batch.src),
+                jnp.asarray(batch.src_len),
+                jnp.asarray(batch.labels),
+                jnp.asarray(batch.weight),
+                tgt_tokens,
+                tgt_lens,
+            )
+            window_losses.append(metrics["loss"])
+            step = int(state.step)
+            if step % cfg.steps_per_checkpoint == 0:
+                mean_loss = float(jnp.mean(jnp.stack(window_losses)))
+                window_losses = []
+                record: Dict[str, Any] = {
+                    "step": step,
+                    "epoch": epoch,
+                    "loss": mean_loss,
+                    "lr": float(state.lr),
+                    "steps_per_sec": cfg.steps_per_checkpoint
+                    / max(time.perf_counter() - t0, 1e-9),
+                }
+                t0 = time.perf_counter()
+                if eval_fn is not None:
+                    evals = eval_fn(state.params)
+                    record.update(evals)
+                    score = evals.get(eval_metric, mean_loss)
+                    if score > best:
+                        best = score
+                    else:  # reference plateau decay (SURVEY.md §3.1)
+                        state = dataclasses.replace(
+                            state,
+                            lr=state.lr * cfg.learning_rate_decay_factor,
+                        )
+                if checkpoint_fn is not None:
+                    checkpoint_fn(state, step)
+                if log_fn is not None:
+                    log_fn(record)
+    return state

@@ -1,0 +1,114 @@
+"""Similarity losses: softmax cross-entropy over negatives.
+
+Reference parity (SURVEY.md §2.1 model row; BASELINE.json north_star:
+"cosine-similarity training with sampled-softmax negatives"):
+logits are scaled cosine similarities; the negative set is one of
+
+  * ``full``     — every target (source-encoder-only classification; exact
+                   softmax, shardable over the 'model' mesh axis),
+  * ``inbatch``  — the other examples' targets in the batch,
+  * ``sampled``  — in-batch positives ∪ K uniformly sampled extra targets
+                   (the reference's sampled-softmax analog), encoded by the
+                   target tower on-device (no host-side candidate prep).
+
+False negatives (a candidate that IS example i's labeled target but is not
+its designated positive column) are masked to -inf — the reference's TF1
+sampled softmax handled the analogous "accidental hit" removal.
+All losses honor per-example weights (0-weight = batch padding row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    kind: str = "inbatch"  # full | inbatch | sampled
+    scale: float = 20.0  # cosine logit scale (temperature⁻¹)
+    num_negatives: int = 128  # sampled mode: extra uniform negatives
+
+
+def _weighted_ce(
+    logits: jax.Array, label_col: jax.Array, weight: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Mean weighted CE + accuracy. logits [B,C], label_col [B]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, label_col[:, None], axis=1)[:, 0]
+    denom = jnp.maximum(jnp.sum(weight), 1.0)
+    loss = -jnp.sum(ll * weight) / denom
+    acc = (
+        jnp.sum((jnp.argmax(logits, axis=-1) == label_col) * weight) / denom
+    )
+    return loss, acc
+
+
+def full_softmax_loss(
+    src_emb: jax.Array,  # [B, D] normalized
+    tgt_all: jax.Array,  # [T, D] normalized (may be 'model'-sharded)
+    labels: jax.Array,  # [B] rows into tgt_all
+    weight: jax.Array,  # [B]
+    scale: float,
+) -> Tuple[jax.Array, jax.Array]:
+    logits = scale * jnp.dot(
+        src_emb, tgt_all.T, preferred_element_type=jnp.float32
+    )
+    return _weighted_ce(logits, labels, weight)
+
+
+def candidate_softmax_loss(
+    src_emb: jax.Array,  # [B, D]
+    cand_emb: jax.Array,  # [C, D] candidate targets; col i is example i's
+    cand_rows: jax.Array,  # [C] global target rows of the candidates
+    labels: jax.Array,  # [B] global target rows of the positives
+    weight: jax.Array,  # [B]
+    scale: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """In-batch / sampled softmax. Candidate column i (< B) is example i's
+    positive; any other column holding the same global target row is a
+    false negative and gets masked."""
+    B = src_emb.shape[0]
+    logits = scale * jnp.dot(
+        src_emb, cand_emb.T, preferred_element_type=jnp.float32
+    )  # [B, C]
+    same_target = labels[:, None] == cand_rows[None, :]  # [B, C]
+    own_col = (
+        jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        == jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    )
+    false_neg = same_target & ~own_col
+    logits = jnp.where(false_neg, jnp.finfo(logits.dtype).min, logits)
+    label_col = jnp.arange(B, dtype=jnp.int32)
+    return _weighted_ce(logits, label_col, weight)
+
+
+def sample_negative_rows(
+    key: jax.Array, num_targets: int, num_negatives: int
+) -> jax.Array:
+    """Uniform negative rows (collisions with positives are masked in the
+    loss, so uniform-with-replacement is exact enough and O(1))."""
+    return jax.random.randint(key, (num_negatives,), 0, num_targets)
+
+
+def similarity_loss(
+    cfg: LossConfig,
+    src_emb: jax.Array,
+    labels: jax.Array,
+    weight: jax.Array,
+    *,
+    tgt_all: Optional[jax.Array] = None,  # full mode
+    cand_emb: Optional[jax.Array] = None,  # inbatch/sampled modes
+    cand_rows: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch on cfg.kind → (loss, train_accuracy)."""
+    if cfg.kind == "full":
+        assert tgt_all is not None
+        return full_softmax_loss(src_emb, tgt_all, labels, weight, cfg.scale)
+    assert cand_emb is not None and cand_rows is not None
+    return candidate_softmax_loss(
+        src_emb, cand_emb, cand_rows, labels, weight, cfg.scale
+    )

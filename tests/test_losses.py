@@ -1,0 +1,90 @@
+"""Loss math vs hand-computed small cases (SURVEY.md §4 unit tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special
+
+from sse_tpu.train.losses import (
+    LossConfig,
+    candidate_softmax_loss,
+    full_softmax_loss,
+    sample_negative_rows,
+    similarity_loss,
+)
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_full_softmax_matches_numpy():
+    rng = np.random.default_rng(0)
+    src = _norm(rng.normal(size=(3, 8))).astype(np.float32)
+    tgt = _norm(rng.normal(size=(5, 8))).astype(np.float32)
+    labels = np.array([0, 3, 2], np.int32)
+    weight = np.array([1.0, 1.0, 0.0], np.float32)  # last row = padding
+    scale = 10.0
+    loss, acc = full_softmax_loss(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(labels),
+        jnp.asarray(weight), scale,
+    )
+    logits = scale * src @ tgt.T
+    logp = logits - scipy.special.logsumexp(logits, axis=1, keepdims=True)
+    expected = -(logp[0, 0] + logp[1, 3]) / 2.0
+    # rtol matches the framework's matmul policy: bf16 operands, fp32 accum
+    # (MXU-native; ranking/recall is insensitive to operand rounding).
+    np.testing.assert_allclose(float(loss), expected, rtol=5e-3)
+
+
+def test_candidate_loss_masks_false_negatives():
+    """Two examples with the SAME target: each other's column must be
+    masked, so loss ≈ log(1) when embeddings are perfectly aligned."""
+    d = 4
+    e = np.eye(d, dtype=np.float32)
+    src = jnp.asarray(e[:2])  # examples 0,1 point at axes 0,1
+    cand = jnp.asarray(e[:2])
+    labels = jnp.asarray(np.array([7, 7], np.int32))  # same global target!
+    cand_rows = labels
+    weight = jnp.ones((2,), jnp.float32)
+    loss, acc = candidate_softmax_loss(src, cand, cand_rows, labels, weight, 100.0)
+    # with the duplicate column masked, each row's softmax has 1 candidate
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-5)
+    assert float(acc) == 1.0
+
+
+def test_candidate_loss_decreases_with_alignment():
+    rng = np.random.default_rng(1)
+    d, b = 8, 4
+    tgt = _norm(rng.normal(size=(b, d))).astype(np.float32)
+    labels = jnp.arange(b, dtype=jnp.int32)
+    w = jnp.ones((b,), jnp.float32)
+    aligned, _ = candidate_softmax_loss(
+        jnp.asarray(tgt), jnp.asarray(tgt), labels, labels, w, 20.0
+    )
+    random_src = _norm(rng.normal(size=(b, d))).astype(np.float32)
+    misaligned, _ = candidate_softmax_loss(
+        jnp.asarray(random_src), jnp.asarray(tgt), labels, labels, w, 20.0
+    )
+    assert float(aligned) < float(misaligned)
+
+
+def test_sample_negative_rows_in_range():
+    rows = sample_negative_rows(jax.random.PRNGKey(0), 50, 200)
+    assert rows.shape == (200,)
+    assert int(rows.min()) >= 0 and int(rows.max()) < 50
+
+
+def test_similarity_loss_dispatch():
+    d = 4
+    e = jnp.asarray(np.eye(d, dtype=np.float32))
+    labels = jnp.arange(4, dtype=jnp.int32)
+    w = jnp.ones((4,), jnp.float32)
+    l1, _ = similarity_loss(
+        LossConfig(kind="full"), e, labels, w, tgt_all=e
+    )
+    l2, _ = similarity_loss(
+        LossConfig(kind="inbatch"), e, labels, w, cand_emb=e, cand_rows=labels
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)

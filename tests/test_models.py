@@ -1,0 +1,124 @@
+"""L2 model tests: shapes, normalization, padding/masking invariance
+(SURVEY.md §4 property tests), all three network modes, all tower cells."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sse_tpu.models import (
+    NetworkMode,
+    SSEConfig,
+    TowerConfig,
+    encode_source,
+    encode_target,
+    init_params,
+    target_embeddings,
+)
+
+V, L, B, D = 64, 12, 4, 16
+
+
+def tower(cell="gru", **kw):
+    base = dict(
+        vocab_size=V, embed_dim=24, hidden=24, num_layers=2, encoding_dim=D,
+        cell=cell,
+    )
+    base.update(kw)
+    return TowerConfig(**base)
+
+
+def rand_batch(key, max_len=L):
+    k1, k2 = jax.random.split(key)
+    tokens = jax.random.randint(k1, (B, max_len), 2, V)
+    lengths = jax.random.randint(k2, (B,), 2, max_len + 1)
+    pos = jnp.arange(max_len)[None, :]
+    tokens = jnp.where(pos < lengths[:, None], tokens, 0)
+    return tokens.astype(jnp.int32), lengths.astype(jnp.int32)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm", "transformer"])
+def test_tower_shapes_and_norm(cell):
+    cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER, src_tower=tower(cell)
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens, lengths = rand_batch(jax.random.PRNGKey(1))
+    emb = encode_source(params, cfg, tokens, lengths)
+    assert emb.shape == (B, D)
+    assert emb.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm", "transformer"])
+def test_padding_invariance(cell):
+    """Tokens past each row's length must not affect the embedding."""
+    cfg = SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=tower(cell))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens, lengths = rand_batch(jax.random.PRNGKey(2))
+    emb1 = encode_source(params, cfg, tokens, lengths)
+    # scribble garbage into the padding region
+    pos = jnp.arange(L)[None, :]
+    garbage = jnp.where(
+        pos < lengths[:, None], tokens, jnp.full_like(tokens, V - 1)
+    )
+    emb2 = encode_source(params, cfg, garbage, lengths)
+    np.testing.assert_allclose(
+        np.asarray(emb1), np.asarray(emb2), atol=2e-2 if cell == "transformer" else 1e-5
+    )
+
+
+def test_source_encoder_only_mode():
+    cfg = SSEConfig(
+        mode=NetworkMode.SOURCE_ENCODER_ONLY,
+        src_tower=tower(),
+        num_targets=10,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert params["target_table"].shape == (10, D)
+    all_t = target_embeddings(params, cfg)
+    assert all_t.shape == (10, D)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(all_t), axis=-1), 1.0, atol=1e-5
+    )
+    some = target_embeddings(params, cfg, rows=jnp.array([3, 7]))
+    np.testing.assert_allclose(np.asarray(some), np.asarray(all_t)[[3, 7]], atol=1e-6)
+    with pytest.raises(ValueError):
+        encode_target(params, cfg, *rand_batch(jax.random.PRNGKey(3)))
+
+
+def test_shared_vs_dual_param_structure():
+    shared = SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=tower())
+    dual = SSEConfig(
+        mode=NetworkMode.DUAL_ENCODER, src_tower=tower(), tgt_tower=tower("lstm")
+    )
+    ps = init_params(jax.random.PRNGKey(0), shared)
+    pd = init_params(jax.random.PRNGKey(0), dual)
+    assert "tgt_tower" not in ps
+    assert "tgt_tower" in pd
+    tokens, lengths = rand_batch(jax.random.PRNGKey(4))
+    # shared mode: target side == source side encoding
+    np.testing.assert_allclose(
+        np.asarray(encode_target(ps, shared, tokens, lengths)),
+        np.asarray(encode_source(ps, shared, tokens, lengths)),
+        atol=1e-6,
+    )
+    # dual mode: towers differ
+    a = np.asarray(encode_target(pd, dual, tokens, lengths))
+    b = np.asarray(encode_source(pd, dual, tokens, lengths))
+    assert np.abs(a - b).max() > 1e-3
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        SSEConfig(mode=NetworkMode.SOURCE_ENCODER_ONLY, src_tower=tower())
+    with pytest.raises(ValueError):
+        SSEConfig(mode=NetworkMode.DUAL_ENCODER, src_tower=tower())
+    with pytest.raises(ValueError):
+        SSEConfig(
+            mode=NetworkMode.DUAL_ENCODER,
+            src_tower=tower(),
+            tgt_tower=tower(encoding_dim=D + 1),
+        )
