@@ -1,0 +1,208 @@
+"""Sharded device-resident target-embedding index.
+
+Design (SURVEY.md §2.2 index-parallelism row; §3.2 build mapping):
+
+  * embeddings: [T_pad, D] float32, L2-normalized rows, sharded
+    ``P('model', None)`` — T_pad rounds T up to the shard count (and a lane
+    multiple) so every shard holds an equal static block;
+  * padding rows carry a validity mask; scoring masks them to -inf before
+    top-k, so exactness is unaffected;
+  * id/text sidecar stays on host (strings are not device data);
+  * build = the target tower pjit-batched over the corpus, written shard-
+    by-shard — "index docs/sec" (BASELINE.json metric) measures this path;
+  * persistence: Orbax checkpoint (sharded arrays native) + sidecar JSON;
+    `export_tsv`/`import_tsv` speak the reference's
+    ``targetEncodingIndex.tsv`` (id \\t text \\t space-joined floats).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sse_tpu.data.corpus import TargetSpace
+from sse_tpu.models import sse
+from sse_tpu.models.sse import NetworkMode, SSEConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    emb: jax.Array  # [T_pad, D] float32, P('model', None) when mesh given
+    num_real: int  # first num_real rows are valid
+    ids: List[str]
+    texts: List[str]
+    mesh: Optional[Mesh] = None
+
+    @property
+    def dim(self) -> int:
+        return int(self.emb.shape[1])
+
+    @property
+    def padded_size(self) -> int:
+        return int(self.emb.shape[0])
+
+    def valid_mask(self) -> jax.Array:
+        """[T_pad] bool — False on padding rows."""
+        return jnp.arange(self.padded_size) < self.num_real
+
+    def lookup(self, rows: Sequence[int]) -> List[Tuple[str, str]]:
+        """Global row indices → (target_id, target_text)."""
+        return [(self.ids[r], self.texts[r]) for r in rows]
+
+    # ------------------------------------------------------------ persist
+    def save(self, directory: str) -> None:
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.join(directory, "emb"), {"emb": self.emb}, force=True
+            )
+        with open(
+            os.path.join(directory, "sidecar.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(
+                {
+                    "num_real": self.num_real,
+                    "ids": self.ids,
+                    "texts": self.texts,
+                    "shape": list(self.emb.shape),
+                    "dtype": str(self.emb.dtype),
+                },
+                f,
+                ensure_ascii=False,
+            )
+
+    @classmethod
+    def load(cls, directory: str, mesh: Optional[Mesh] = None) -> "ShardedIndex":
+        directory = os.path.abspath(directory)
+        with open(
+            os.path.join(directory, "sidecar.json"), "r", encoding="utf-8"
+        ) as f:
+            side = json.load(f)
+        with ocp.StandardCheckpointer() as ckptr:
+            sharding = (
+                NamedSharding(mesh, P("model", None))
+                if mesh is not None
+                else NamedSharding(
+                    Mesh(np.array(jax.devices()[:1]), ("model",)), P()
+                )
+            )
+            abstract = jax.ShapeDtypeStruct(
+                tuple(side["shape"]), side["dtype"], sharding=sharding
+            )
+            emb = ckptr.restore(
+                os.path.join(directory, "emb"), {"emb": abstract}
+            )["emb"]
+        return cls(
+            emb=emb,
+            num_real=side["num_real"],
+            ids=side["ids"],
+            texts=side["texts"],
+            mesh=mesh,
+        )
+
+    # -------------------------------------------------- reference TSV compat
+    def export_tsv(self, path: str) -> None:
+        """Write the reference's targetEncodingIndex.tsv format."""
+        emb = np.asarray(self.emb)[: self.num_real]
+        with open(path, "w", encoding="utf-8") as f:
+            for i in range(self.num_real):
+                vec = " ".join(f"{v:.6f}" for v in emb[i])
+                f.write(f"{self.ids[i]}\t{self.texts[i]}\t{vec}\n")
+
+    @classmethod
+    def import_tsv(
+        cls, path: str, mesh: Optional[Mesh] = None
+    ) -> "ShardedIndex":
+        ids, texts, rows = [], [], []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                tid, text, vec = line.split("\t")
+                ids.append(tid)
+                texts.append(text)
+                rows.append(np.asarray(vec.split(" "), dtype=np.float32))
+        emb = np.stack(rows)
+        return from_embeddings(emb, ids, texts, mesh)
+
+
+def _shard_count(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else mesh.shape["model"]
+
+
+def from_embeddings(
+    emb: np.ndarray,
+    ids: Sequence[str],
+    texts: Sequence[str],
+    mesh: Optional[Mesh] = None,
+) -> ShardedIndex:
+    """Wrap host embeddings [T, D] into a (padded, sharded) index."""
+    t, d = emb.shape
+    t_pad = _round_up(max(t, 1), _shard_count(mesh) * 8)
+    padded = np.zeros((t_pad, d), np.float32)
+    padded[:t] = emb
+    arr = jnp.asarray(padded)
+    if mesh is not None:
+        arr = jax.device_put(arr, NamedSharding(mesh, P("model", None)))
+    return ShardedIndex(
+        emb=arr, num_real=t, ids=list(ids), texts=list(texts), mesh=mesh
+    )
+
+
+def build_index(
+    params,
+    model_cfg: SSEConfig,
+    target_space: TargetSpace,
+    mesh: Optional[Mesh] = None,
+    batch_size: int = 256,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> ShardedIndex:
+    """Encode the full target space into a sharded index (the reference's
+    sse_index.py stack, SURVEY.md §3.2).
+
+    SOURCE_ENCODER_ONLY: the learned table IS the index. Tower modes: the
+    target tower streams over the corpus in static-shape batches; with a
+    mesh, each batch is data-sharded so the encode itself runs DP.
+    """
+    if model_cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
+        emb = np.asarray(sse.target_embeddings(params, model_cfg))
+        return from_embeddings(
+            emb[: target_space.num_targets],
+            target_space.ids,
+            target_space.texts,
+            mesh,
+        )
+
+    @jax.jit
+    def encode_batch(p, tokens, lengths):
+        return sse.target_embeddings(p, model_cfg, tokens=tokens, lengths=lengths)
+
+    toks, lens = target_space.tokens, target_space.lengths
+    t = toks.shape[0]
+    outs: List[np.ndarray] = []
+    for lo in range(0, t, batch_size):
+        tb = toks[lo : lo + batch_size]
+        lb = lens[lo : lo + batch_size]
+        if tb.shape[0] < batch_size:
+            pad = batch_size - tb.shape[0]
+            tb = np.concatenate([tb, np.zeros((pad, tb.shape[1]), tb.dtype)])
+            lb = np.concatenate([lb, np.ones((pad,), lb.dtype)])
+        outs.append(np.asarray(encode_batch(params, jnp.asarray(tb), jnp.asarray(lb))))
+        if progress:
+            progress(min(lo + batch_size, t), t)
+    emb = np.concatenate(outs)[:t]
+    return from_embeddings(emb, target_space.ids, target_space.texts, mesh)

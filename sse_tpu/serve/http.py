@@ -1,0 +1,88 @@
+"""HTTP front end over QueryEngine (reference webserver.py analog,
+SURVEY.md §2.1 L6). stdlib-only (ThreadingHTTPServer): GET /api/query
+returns top-N JSON; GET / serves a minimal demo page."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from sse_tpu.serve.engine import QueryEngine
+
+_DEMO_PAGE = """<!doctype html>
+<html><head><title>SSE-TPU demo</title></head>
+<body style="font-family:sans-serif;max-width:40em;margin:2em auto">
+<h2>Sequence Semantic Embedding (TPU) demo</h2>
+<form action="/api/query"><input name="keywords" size="40"
+ placeholder="type a query"><input type="submit" value="search"></form>
+<p>API: <code>GET /api/query?keywords=...&amp;n=10</code></p>
+</body></html>"""
+
+
+def make_handler(engine: QueryEngine):
+    # engine.query is jit-backed; serialize device access across threads.
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            url = urlparse(self.path)
+            if url.path == "/":
+                self._send(200, _DEMO_PAGE.encode(), "text/html; charset=utf-8")
+                return
+            if url.path in ("/api/query", "/api/classify", "/api/search"):
+                qs = parse_qs(url.query)
+                keywords = (qs.get("keywords") or qs.get("q") or [""])[0]
+                if not keywords.strip():
+                    self._send(
+                        400,
+                        json.dumps({"error": "missing ?keywords="}).encode(),
+                        "application/json",
+                    )
+                    return
+                try:
+                    n = int((qs.get("n") or [str(engine.k)])[0])
+                except ValueError:
+                    n = engine.k
+                n = max(1, min(n, engine.k))
+                with lock:
+                    hits = engine.query([keywords])[0][:n]
+                body = json.dumps(
+                    {"query": keywords, "results": hits}, ensure_ascii=False
+                ).encode()
+                self._send(200, body, "application/json")
+                return
+            self._send(404, b'{"error": "not found"}', "application/json")
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def serve_http(
+    engine: QueryEngine,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    block: bool = True,
+) -> Optional[ThreadingHTTPServer]:
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    if block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return None
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

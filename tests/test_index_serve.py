@@ -1,0 +1,150 @@
+"""Index subsystem + fused query path tests (SURVEY.md §4): build, orbax
+persistence, reference-TSV round trip, sharded-vs-single-device query
+equality, HTTP API."""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sse_tpu.data import synthetic
+from sse_tpu.data.corpus import encode_pairs, encode_target_space
+from sse_tpu.index import ShardedIndex, build_index
+from sse_tpu.index.sharded_index import from_embeddings
+from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params
+from sse_tpu.parallel import make_mesh
+from sse_tpu.serve import QueryEngine, serve_http
+from sse_tpu.text.subword import SubwordVocab, token_counts_from_lines
+
+L = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tr, ev, tg = synthetic.make_corpus(
+        task="ranking", num_targets=24, train_per_target=4, seed=9
+    )
+    vocab = SubwordVocab.build_to_target_size(
+        300, token_counts_from_lines([s for s, _ in tr] + [t for _, t in tg])
+    )
+    tspace = encode_target_space(vocab, tg, L)
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=TowerConfig(
+            vocab_size=vocab.vocab_size, embed_dim=24, hidden=24, encoding_dim=16
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    return vocab, tspace, model_cfg, params, tg
+
+
+def test_build_index_shapes(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, mesh=None, batch_size=16)
+    assert idx.num_real == 24
+    assert idx.padded_size % 8 == 0
+    assert idx.ids[0] == "t00000"
+    # rows normalized
+    norms = np.linalg.norm(np.asarray(idx.emb)[:24], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_index_save_load_and_tsv(setup, tmp_path):
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    d = str(tmp_path / "index")
+    idx.save(d)
+    loaded = ShardedIndex.load(d)
+    np.testing.assert_allclose(
+        np.asarray(loaded.emb), np.asarray(idx.emb), atol=1e-7
+    )
+    assert loaded.ids == idx.ids and loaded.num_real == idx.num_real
+    # reference-format TSV round trip
+    tsv = str(tmp_path / "targetEncodingIndex.tsv")
+    idx.export_tsv(tsv)
+    re_imported = ShardedIndex.import_tsv(tsv)
+    assert re_imported.num_real == idx.num_real
+    np.testing.assert_allclose(
+        np.asarray(re_imported.emb)[:24],
+        np.asarray(idx.emb)[:24],
+        atol=1e-5,
+    )
+
+
+def test_sharded_query_equals_single_device(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    queries = ["gudi foso qefo", "zana bole", "xyzzy unknown words"]
+
+    idx1 = build_index(params, model_cfg, tspace, mesh=None, batch_size=16)
+    eng1 = QueryEngine(params, model_cfg, vocab, idx1, max_seq_length=L, k=5)
+    res1 = eng1.query(queries)
+
+    mesh = make_mesh(data=1, model=8)
+    idx8 = build_index(params, model_cfg, tspace, mesh=mesh, batch_size=16)
+    assert idx8.emb.sharding.spec[0] == "model"
+    eng8 = QueryEngine(params, model_cfg, vocab, idx8, max_seq_length=L, k=5)
+    res8 = eng8.query(queries)
+
+    for a, b in zip(res1, res8):
+        assert [h["targetId"] for h in a] == [h["targetId"] for h in b]
+        np.testing.assert_allclose(
+            [h["score"] for h in a], [h["score"] for h in b], rtol=1e-3
+        )
+
+
+def test_padding_rows_never_returned(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    # index with heavy padding: 3 real rows in 8-shard mesh → T_pad = 64
+    emb = np.asarray(build_index(params, model_cfg, tspace).emb)[:3]
+    mesh = make_mesh(data=1, model=8)
+    tiny = from_embeddings(emb, tspace.ids[:3], tspace.texts[:3], mesh)
+    eng = QueryEngine(params, model_cfg, vocab, tiny, max_seq_length=L, k=3)
+    for hits in eng.query(["anything at all", ""]):
+        assert all(h["row"] < 3 for h in hits)
+
+
+def test_query_batch_larger_than_max_batch(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(
+        params, model_cfg, vocab, idx, max_seq_length=L, max_batch=4, k=3
+    )
+    res = eng.query([f"query number {i}" for i in range(10)])
+    assert len(res) == 10
+    assert all(len(r) == 3 for r in res)
+
+
+def test_http_api(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=5)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/query?keywords=gudi+foso&n=3"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["query"] == "gudi foso"
+        assert len(body["results"]) == 3
+        assert {"targetId", "targetText", "score"} <= set(body["results"][0])
+        # demo page
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"demo" in r.read().lower()
+        # error paths
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/query")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -1,0 +1,162 @@
+"""Distributed-without-cluster tests on 8 fake CPU devices
+(SURVEY.md §4): mesh construction, distributed exact top-k == argsort,
+sharded data-parallel train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sse_tpu.parallel import batch_sharding, index_sharding, make_mesh, param_shardings
+from sse_tpu.parallel.topk import distributed_topk
+
+
+def test_eight_fake_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    m = make_mesh(model=4)
+    assert m.shape == {"data": 2, "model": 4}
+    m = make_mesh(data=1, model=8)
+    assert m.shape == {"data": 1, "model": 8}
+
+
+@pytest.mark.parametrize("k", [1, 5, 32])
+@pytest.mark.parametrize("t", [64, 1000])
+def test_distributed_topk_exact(k, t):
+    """Exactness harness: distributed merge == single-device argsort."""
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(0)
+    b = 4
+    t_pad = -(-t // 8) * 8
+    scores = rng.normal(size=(b, t_pad)).astype(np.float32)
+    sharded = jax.device_put(
+        jnp.asarray(scores), NamedSharding(mesh, P(None, "model"))
+    )
+    vals, idx = distributed_topk(sharded, k, mesh)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    expect_idx = np.argsort(-scores, axis=1)[:, :k]
+    expect_vals = np.take_along_axis(scores, expect_idx, axis=1)
+    np.testing.assert_allclose(vals, expect_vals, rtol=1e-6)
+    np.testing.assert_array_equal(idx, expect_idx)
+
+
+def test_distributed_topk_k_larger_than_shard():
+    """k bigger than a shard's row count still exact (pad path)."""
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(1)
+    scores = rng.normal(size=(2, 16)).astype(np.float32)  # 2 rows/shard
+    sharded = jax.device_put(
+        jnp.asarray(scores), NamedSharding(mesh, P(None, "model"))
+    )
+    vals, idx = distributed_topk(sharded, 8, mesh)
+    expect_idx = np.argsort(-scores, axis=1)[:, :8]
+    np.testing.assert_array_equal(np.asarray(idx), expect_idx)
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """Same batch, sharded over 8 devices vs 1 device → same loss/params."""
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
+    from sse_tpu.train import LossConfig, TrainConfig, init_train_state, make_train_step
+
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SOURCE_ENCODER_ONLY,
+        src_tower=TowerConfig(
+            vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8
+        ),
+        num_targets=12,
+    )
+    cfg = TrainConfig(batch_size=16, loss=LossConfig(kind="full"))
+    rng = np.random.default_rng(2)
+    src = rng.integers(2, 50, size=(16, 10)).astype(np.int32)
+    src_len = rng.integers(2, 11, size=(16,)).astype(np.int32)
+    labels = rng.integers(0, 12, size=(16,)).astype(np.int32)
+    weight = np.ones((16,), np.float32)
+    dummy_t = np.zeros((12, 10), np.int32)
+    dummy_l = np.ones((12,), np.int32)
+
+    def run(mesh):
+        state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+        step = make_train_step(model_cfg, cfg, donate=False)
+        args = [src, src_len, labels, weight]
+        if mesh is not None:
+            bs = batch_sharding(mesh)
+            args = [jax.device_put(jnp.asarray(a), bs) for a in args]
+            state = jax.device_put(state, param_shardings(mesh, state))
+        else:
+            args = [jnp.asarray(a) for a in args]
+        new_state, metrics = step(
+            state, *args, jnp.asarray(dummy_t), jnp.asarray(dummy_l)
+        )
+        return float(metrics["loss"]), np.asarray(
+            new_state.params["target_table"]
+        )
+
+    loss_1, table_1 = run(None)
+    mesh = make_mesh(data=8, model=1)
+    loss_8, table_8 = run(mesh)
+    np.testing.assert_allclose(loss_1, loss_8, rtol=2e-4)
+    np.testing.assert_allclose(table_1, table_8, rtol=3e-3, atol=3e-5)
+
+
+def test_model_sharded_target_table_full_softmax():
+    """Target table sharded over 'model' (TP for the big matrix) still
+    trains: loss matches the replicated run."""
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
+    from sse_tpu.train import LossConfig, TrainConfig, init_train_state, make_train_step
+
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SOURCE_ENCODER_ONLY,
+        src_tower=TowerConfig(
+            vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8
+        ),
+        num_targets=16,
+    )
+    cfg = TrainConfig(batch_size=8, loss=LossConfig(kind="full"))
+    rng = np.random.default_rng(3)
+    src = rng.integers(2, 50, size=(8, 10)).astype(np.int32)
+    src_len = rng.integers(2, 11, size=(8,)).astype(np.int32)
+    labels = rng.integers(0, 16, size=(8,)).astype(np.int32)
+    weight = np.ones((8,), np.float32)
+    dummy_t = np.zeros((16, 10), np.int32)
+    dummy_l = np.ones((16,), np.int32)
+
+    state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    step = make_train_step(model_cfg, cfg, donate=False)
+    ref_state, ref_metrics = step(
+        state,
+        jnp.asarray(src),
+        jnp.asarray(src_len),
+        jnp.asarray(labels),
+        jnp.asarray(weight),
+        jnp.asarray(dummy_t),
+        jnp.asarray(dummy_l),
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    state2 = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    state2 = jax.device_put(state2, param_shardings(mesh, state2))
+    assert state2.params["target_table"].sharding.spec == P("model", None)
+    bs = batch_sharding(mesh)
+    sh_state, sh_metrics = step(
+        state2,
+        jax.device_put(jnp.asarray(src), bs),
+        jax.device_put(jnp.asarray(src_len), bs),
+        jax.device_put(jnp.asarray(labels), bs),
+        jax.device_put(jnp.asarray(weight), bs),
+        jnp.asarray(dummy_t),
+        jnp.asarray(dummy_l),
+    )
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(sh_metrics["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_state.params["target_table"]),
+        np.asarray(sh_state.params["target_table"]),
+        rtol=3e-3,
+        atol=3e-5,
+    )
