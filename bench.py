@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Driver benchmark: ONE JSON line on stdout.
+
+Measures the north-star metric — exact top-10 queries/sec/chip over a
+device-resident index (BASELINE.json: ≥10,000 QPS/chip over 10M items on
+v5p-8 ⇒ 1.25M rows per chip) — on whatever accelerator is available.
+`vs_baseline` is QPS / 10,000 (the north-star per-chip bar; the reference
+itself has no bindable published number — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from sse_tpu.bench import run_query_bench
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    # Per-chip share of the north star's 10M-item / 8-chip index.
+    num_targets = 1_250_000 if platform != "cpu" else 20_000
+    result = run_query_bench(
+        num_targets=num_targets,
+        encoding_dim=128,
+        batch=256,
+        k=10,
+        seconds=10.0 if platform != "cpu" else 3.0,
+    )
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": round(result["value"] / 10_000.0, 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

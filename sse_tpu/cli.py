@@ -1,0 +1,214 @@
+"""CLI: train | index | eval | serve | demo-data | bench.
+
+Reference parity: sse_main.py's flag surface + mode dispatch
+(SURVEY.md §2.1, §3.1) plus sse_index.py and webserver.py entry points,
+unified. `demo-data` replaces the reference Makefile's dataset downloads
+(unavailable here — SURVEY.md §6 risk note) with the synthetic corpora.
+
+Usage:
+    python -m sse_tpu.cli demo-data --task classification --out_dir data/
+    python -m sse_tpu.cli train --task_type classification \
+        --data_dir data/ --model_dir runs/clf
+    python -m sse_tpu.cli index --model_dir runs/clf --data_dir data/
+    python -m sse_tpu.cli eval  --model_dir runs/clf --data_dir data/
+    python -m sse_tpu.cli serve --model_dir runs/clf --port 8080
+    python -m sse_tpu.cli bench --model_dir runs/clf
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def _add_task_overrides(p: argparse.ArgumentParser) -> None:
+    """Expose every TaskConfig field as a --flag (the reference's
+    tf.app.flags surface)."""
+    from sse_tpu.configs import TaskConfig
+
+    for f in dataclasses.fields(TaskConfig):
+        if f.name == "task_type":
+            continue
+        p.add_argument(f"--{f.name}", type=type(f.default), default=None)
+
+
+def _build_cfg(args) -> "TaskConfig":
+    from sse_tpu.configs import TaskConfig, preset
+
+    overrides = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(TaskConfig)
+        if f.name != "task_type"
+        and getattr(args, f.name, None) is not None
+    }
+    return preset(args.task_type, **overrides)
+
+
+def cmd_demo_data(args) -> int:
+    from sse_tpu.data import synthetic
+
+    train, ev, targets = synthetic.make_corpus(
+        task=args.task,
+        num_targets=args.num_targets,
+        train_per_target=args.train_per_target,
+        eval_per_target=args.eval_per_target,
+        seed=args.seed,
+    )
+    synthetic.write_corpus(args.out_dir, train, ev, targets)
+    print(
+        f"[sse] wrote {len(train)} TrainPairs, {len(ev)} EvalPairs, "
+        f"{len(targets)} targetIDs to {args.out_dir}"
+    )
+    return 0
+
+
+def cmd_train(args) -> int:
+    from sse_tpu.workspace import Workspace
+
+    cfg_path = os.path.join(args.model_dir, "config.json")
+    if args.task_type is not None:
+        ws = Workspace.create(args.model_dir, _build_cfg(args))
+    elif os.path.exists(cfg_path):
+        ws = Workspace.open(args.model_dir)  # resume with saved config
+    else:
+        print("error: new model_dir needs --task_type", file=sys.stderr)
+        return 2
+    final = ws.train(args.data_dir)
+    print("[sse] final eval: " + json.dumps(final))
+    return 0
+
+
+def cmd_index(args) -> int:
+    from sse_tpu.workspace import Workspace
+
+    ws = Workspace.open(args.model_dir)
+    t0 = time.perf_counter()
+    index = ws.build_index(args.data_dir, export_tsv=args.export_tsv)
+    dt = time.perf_counter() - t0
+    print(
+        f"[sse] built index: {index.num_real} targets, dim {index.dim}, "
+        f"{index.num_real / dt:.1f} docs/sec → {ws.index_dir}"
+    )
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from sse_tpu.workspace import Workspace
+
+    ws = Workspace.open(args.model_dir)
+    result = ws.evaluate(args.data_dir)
+    print("[sse] " + json.dumps(result))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from sse_tpu.serve import serve_http
+    from sse_tpu.workspace import Workspace
+
+    ws = Workspace.open(args.model_dir)
+    engine = ws.engine(data_dir=args.data_dir, k=args.k)
+    print(
+        f"[sse] serving {engine.index.num_real} targets "
+        f"on http://{args.host}:{args.port}  (Ctrl-C to stop)",
+        flush=True,
+    )
+    serve_http(engine, host=args.host, port=args.port)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from sse_tpu.bench import run_query_bench
+
+    result = run_query_bench(
+        model_dir=args.model_dir,
+        num_targets=args.num_targets,
+        encoding_dim=args.encoding_dim,
+        batch=args.batch,
+        k=args.k,
+        seconds=args.seconds,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def _apply_platform_env() -> None:
+    """SSE_PLATFORM=cpu[:N] — force backend before first jax use (this
+    environment's TPU plugin ignores JAX_PLATFORMS, but honors jax.config)."""
+    spec = os.environ.get("SSE_PLATFORM")
+    if not spec:
+        return
+    import jax
+
+    platform, _, n = spec.partition(":")
+    jax.config.update("jax_platforms", platform)
+    if n:
+        jax.config.update("jax_num_cpu_devices", int(n))
+
+
+def main(argv=None) -> int:
+    _apply_platform_env()
+    parser = argparse.ArgumentParser(prog="sse_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("demo-data", help="generate synthetic demo corpora")
+    p.add_argument(
+        "--task",
+        default="classification",
+        choices=["classification", "ranking", "crosslingual", "qna"],
+    )
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--num_targets", type=int, default=64)
+    p.add_argument("--train_per_target", type=int, default=24)
+    p.add_argument("--eval_per_target", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_demo_data)
+
+    p = sub.add_parser("train", help="train a model (reference: sse_main train)")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--model_dir", required=True)
+    p.add_argument(
+        "--task_type",
+        default=None,
+        choices=["classification", "ranking", "crosslingual", "qna"],
+    )
+    _add_task_overrides(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("index", help="build the target index (reference: sse_index)")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--export_tsv", default=None, help="also write reference-format TSV")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("eval", help="top-N recall eval (reference: sse_evaluator)")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve", help="HTTP query serving (reference: webserver)")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--k", type=int, default=10)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("bench", help="query-path throughput microbenchmark")
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--num_targets", type=int, default=100_000)
+    p.add_argument("--encoding_dim", type=int, default=128)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--seconds", type=float, default=5.0)
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

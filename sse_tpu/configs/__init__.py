@@ -1,0 +1,150 @@
+"""Typed per-task config presets.
+
+Reference parity (SURVEY.md §5 config row): the reference's tf.app.flags
+global FLAGS + the Makefile's four per-task flag bundles become four
+checked-in presets of one typed dataclass. JSON (de)serialization makes a
+model_dir self-describing (config.json), replacing the reference's
+convention of re-passing identical flags to sse_index/webserver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from sse_tpu.models.sse import NetworkMode, SSEConfig
+from sse_tpu.models.towers import TowerConfig
+from sse_tpu.train.losses import LossConfig
+from sse_tpu.train.loop import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Everything needed to train/index/eval/serve one task
+    (the reference's FLAGS surface, SURVEY.md §2.1 sse_main row)."""
+
+    task_type: str = "classification"  # classification|ranking|crosslingual|qna
+    network_mode: str = "source-encoder-only"
+    # text/data
+    vocab_size: int = 8000
+    max_seq_length: int = 50
+    # towers (reference: embedding_size, src/tgt_cell_size, num_layers,
+    # encoding_size) — defaults are MXU-friendly multiples of 128
+    embed_dim: int = 128
+    hidden: int = 128
+    tgt_hidden: int = 128
+    num_layers: int = 1
+    encoding_dim: int = 128
+    cell: str = "gru"  # gru | lstm | transformer
+    # training
+    batch_size: int = 128
+    learning_rate: float = 0.01
+    learning_rate_decay_factor: float = 0.9
+    max_gradient_norm: float = 5.0
+    optimizer: str = "adam"
+    loss_kind: str = "full"  # full | inbatch | sampled
+    loss_scale: float = 20.0
+    num_negatives: int = 128
+    steps_per_checkpoint: int = 200
+    max_epochs: int = 20
+    seed: int = 0
+    # parallelism (reference: none; SURVEY.md §2.2)
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+    # ------------------------------------------------------------ builders
+    def model_config(self, vocab_size: int, num_targets: int) -> SSEConfig:
+        """Concrete SSEConfig once the real vocab/target sizes are known."""
+        src = TowerConfig(
+            vocab_size=vocab_size,
+            embed_dim=self.embed_dim,
+            hidden=self.hidden,
+            num_layers=self.num_layers,
+            encoding_dim=self.encoding_dim,
+            cell=self.cell,
+            max_len=max(self.max_seq_length, 512),
+        )
+        mode = NetworkMode(self.network_mode)
+        if mode == NetworkMode.SOURCE_ENCODER_ONLY:
+            return SSEConfig(mode=mode, src_tower=src, num_targets=num_targets)
+        if mode == NetworkMode.SHARED_ENCODER:
+            return SSEConfig(mode=mode, src_tower=src)
+        tgt = dataclasses.replace(src, hidden=self.tgt_hidden)
+        return SSEConfig(mode=mode, src_tower=src, tgt_tower=tgt)
+
+    def train_config(self) -> TrainConfig:
+        return TrainConfig(
+            batch_size=self.batch_size,
+            learning_rate=self.learning_rate,
+            learning_rate_decay_factor=self.learning_rate_decay_factor,
+            max_gradient_norm=self.max_gradient_norm,
+            optimizer=self.optimizer,
+            loss=LossConfig(
+                kind=self.loss_kind,
+                scale=self.loss_scale,
+                num_negatives=self.num_negatives,
+            ),
+            steps_per_checkpoint=self.steps_per_checkpoint,
+            max_epochs=self.max_epochs,
+            seed=self.seed,
+        )
+
+    # -------------------------------------------------------------- persist
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TaskConfig":
+        raw = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "TaskConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_json(f.read())
+
+
+# The four reference demo tasks (BASELINE.json configs[0..3]); demo-scale
+# hyperparameters so each runs on CPU in minutes, TPU in seconds.
+CLASSIFICATION = TaskConfig(
+    task_type="classification",
+    network_mode="source-encoder-only",
+    loss_kind="full",
+)
+RANKING = TaskConfig(
+    task_type="ranking",
+    network_mode="dual-encoder",
+    loss_kind="sampled",
+    num_negatives=128,
+)
+CROSSLINGUAL = TaskConfig(
+    task_type="crosslingual",
+    network_mode="dual-encoder",
+    loss_kind="sampled",
+    num_negatives=128,
+)
+QNA = TaskConfig(
+    task_type="qna",
+    network_mode="dual-encoder",
+    cell="lstm",
+    loss_kind="sampled",
+    num_negatives=128,
+)
+
+PRESETS = {
+    "classification": CLASSIFICATION,
+    "ranking": RANKING,
+    "crosslingual": CROSSLINGUAL,
+    "qna": QNA,
+}
+
+
+def preset(task_type: str, **overrides) -> TaskConfig:
+    base = PRESETS[task_type]
+    return dataclasses.replace(base, **overrides) if overrides else base

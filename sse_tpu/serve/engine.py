@@ -41,6 +41,9 @@ class QueryEngine:
         max_batch: int = 8,
         k: int = 10,
     ):
+        if index.mesh is not None:
+            # index rows live across the mesh; params ride along replicated
+            params = jax.device_put(params, NamedSharding(index.mesh, P()))
         self.params = params
         self.model_cfg = model_cfg
         self.vocab = vocab

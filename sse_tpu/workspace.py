@@ -1,0 +1,225 @@
+"""Model-dir workspace: the glue between CLI commands.
+
+Reference parity: sse_main.py's create_model()/train() orchestration plus
+the model_dir conventions (SURVEY.md §3.1): a self-describing directory
+holding config.json, vocab, encoded-target cache, orbax checkpoints,
+metrics JSONL, and the built index — so `index`, `eval`, and `serve` need
+only --model_dir (the reference re-passed flags instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sse_tpu.configs import TaskConfig
+from sse_tpu.data.corpus import (
+    EncodedPairs,
+    TargetSpace,
+    build_vocab,
+    encode_pairs,
+    encode_target_space,
+    read_pairs_tsv,
+    read_targets_tsv,
+)
+from sse_tpu.evals import Evaluator
+from sse_tpu.index import ShardedIndex, build_index
+from sse_tpu.models.sse import SSEConfig
+from sse_tpu.parallel import batch_sharding, make_mesh, param_shardings
+from sse_tpu.serve import QueryEngine
+from sse_tpu.text.subword import SubwordVocab
+from sse_tpu.train import TrainState, init_train_state, train as train_loop
+from sse_tpu.train.checkpoint import CheckpointManager
+from sse_tpu.train.metrics import MetricWriter
+
+
+class Workspace:
+    def __init__(self, model_dir: str, cfg: TaskConfig):
+        self.model_dir = os.path.abspath(model_dir)
+        self.cfg = cfg
+
+    # ------------------------------------------------------------- layout
+    @property
+    def config_path(self) -> str:
+        return os.path.join(self.model_dir, "config.json")
+
+    @property
+    def vocab_path(self) -> str:
+        return os.path.join(self.model_dir, "vocab.txt")
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.model_dir, "ckpt")
+
+    @property
+    def index_dir(self) -> str:
+        return os.path.join(self.model_dir, "index")
+
+    @property
+    def metrics_path(self) -> str:
+        return os.path.join(self.model_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------ open/new
+    @classmethod
+    def create(cls, model_dir: str, cfg: TaskConfig) -> "Workspace":
+        ws = cls(model_dir, cfg)
+        os.makedirs(model_dir, exist_ok=True)
+        cfg.save(ws.config_path)
+        return ws
+
+    @classmethod
+    def open(cls, model_dir: str) -> "Workspace":
+        ws = cls(model_dir, TaskConfig.load(os.path.join(model_dir, "config.json")))
+        return ws
+
+    # ---------------------------------------------------------------- data
+    def prepare_data(
+        self, data_dir: str, need_eval: bool = True
+    ) -> Tuple[SubwordVocab, TargetSpace, Optional[EncodedPairs], Optional[EncodedPairs]]:
+        """Vocab build/load + full-target-space encode + pair encode
+        (reference data_utils prep stack, SURVEY.md §3.5), all cached in
+        model_dir."""
+        cfg = self.cfg
+        train_path = os.path.join(data_dir, "TrainPairs")
+        eval_path = os.path.join(data_dir, "EvalPairs")
+        target_path = os.path.join(data_dir, "targetIDs")
+        target_rows = read_targets_tsv(target_path)
+        train_rows = read_pairs_tsv(train_path) if os.path.exists(train_path) else []
+        vocab = build_vocab(
+            cfg.vocab_size, train_rows, target_rows, self.vocab_path
+        )
+        tspace = encode_target_space(
+            vocab,
+            target_rows,
+            cfg.max_seq_length,
+            os.path.join(self.model_dir, "targets.npz"),
+        )
+        train_pairs = (
+            encode_pairs(vocab, train_rows, tspace, cfg.max_seq_length)
+            if train_rows
+            else None
+        )
+        eval_pairs = None
+        if need_eval and os.path.exists(eval_path):
+            eval_pairs = encode_pairs(
+                vocab, read_pairs_tsv(eval_path), tspace, cfg.max_seq_length
+            )
+        return vocab, tspace, train_pairs, eval_pairs
+
+    # --------------------------------------------------------------- model
+    def mesh(self):
+        n = len(jax.devices())
+        if n == 1:
+            return None
+        return make_mesh(self.cfg.mesh_data, self.cfg.mesh_model)
+
+    def model_config(self, vocab: SubwordVocab, tspace: TargetSpace) -> SSEConfig:
+        return self.cfg.model_config(vocab.vocab_size, tspace.num_targets)
+
+    def restore_state(
+        self, model_cfg: SSEConfig, quiet: bool = False
+    ) -> Tuple[TrainState, CheckpointManager]:
+        """create_model() analog: init fresh, restore latest if present."""
+        train_cfg = self.cfg.train_config()
+        state = init_train_state(
+            jax.random.PRNGKey(train_cfg.seed), model_cfg, train_cfg
+        )
+        mgr = CheckpointManager(self.ckpt_dir)
+        restored = mgr.restore(state)
+        if restored is not None:
+            state = restored
+            if not quiet:
+                print(f"[sse] restored checkpoint step={mgr.latest_step()}")
+        return state, mgr
+
+    # ---------------------------------------------------------------- ops
+    def train(self, data_dir: str) -> Dict[str, float]:
+        vocab, tspace, train_pairs, eval_pairs = self.prepare_data(data_dir)
+        if train_pairs is None:
+            raise FileNotFoundError(f"no TrainPairs under {data_dir}")
+        model_cfg = self.model_config(vocab, tspace)
+        state, mgr = self.restore_state(model_cfg)
+        evaluator = (
+            Evaluator(model_cfg, eval_pairs, tspace) if eval_pairs else None
+        )
+        writer = MetricWriter(self.metrics_path)
+        mesh = self.mesh()
+        if mesh is not None:
+            state = jax.device_put(state, param_shardings(mesh, state))
+        state = train_loop(
+            model_cfg,
+            self.cfg.train_config(),
+            train_pairs,
+            tspace,
+            eval_fn=(lambda p: evaluator.evaluate(p)) if evaluator else None,
+            checkpoint_fn=lambda s, step: mgr.save(s, step),
+            log_fn=writer.write,
+            state=state,  # resume from the restored checkpoint
+        )
+        final = evaluator.evaluate(state.params) if evaluator else {}
+        mgr.save(state, int(state.step))
+        mgr.wait()
+        mgr.close()
+        writer.write({"step": int(state.step), "final": 1, **final})
+        writer.close()
+        return final
+
+    def build_index(
+        self, data_dir: str, export_tsv: Optional[str] = None
+    ) -> ShardedIndex:
+        vocab, tspace, _, _ = self.prepare_data(data_dir, need_eval=False)
+        model_cfg = self.model_config(vocab, tspace)
+        state, mgr = self.restore_state(model_cfg)
+        mgr.close()
+        index = build_index(
+            state.params, model_cfg, tspace, mesh=self.mesh()
+        )
+        index.save(self.index_dir)
+        if export_tsv:
+            index.export_tsv(export_tsv)
+        return index
+
+    def evaluate(self, data_dir: str) -> Dict[str, float]:
+        vocab, tspace, _, eval_pairs = self.prepare_data(data_dir)
+        if eval_pairs is None:
+            raise FileNotFoundError(f"no EvalPairs under {data_dir}")
+        model_cfg = self.model_config(vocab, tspace)
+        state, mgr = self.restore_state(model_cfg)
+        mgr.close()
+        return Evaluator(model_cfg, eval_pairs, tspace).evaluate(state.params)
+
+    def engine(
+        self, data_dir: Optional[str] = None, k: int = 10, max_batch: int = 8
+    ) -> QueryEngine:
+        """Load everything needed for serving. Uses the saved index if
+        present, else builds one (requires data_dir)."""
+        vocab = SubwordVocab.load(self.vocab_path)
+        mesh = self.mesh()
+        if os.path.isdir(self.index_dir):
+            index = ShardedIndex.load(self.index_dir, mesh)
+            # model cfg needs num_targets for source-encoder-only mode
+            num_targets = index.num_real
+        elif data_dir:
+            index = self.build_index(data_dir)
+            num_targets = index.num_real
+        else:
+            raise FileNotFoundError(
+                "no built index in model_dir and no --data_dir to build from"
+            )
+        model_cfg = self.cfg.model_config(vocab.vocab_size, num_targets)
+        state, mgr = self.restore_state(model_cfg, quiet=True)
+        mgr.close()
+        return QueryEngine(
+            state.params,
+            model_cfg,
+            vocab,
+            index,
+            max_seq_length=self.cfg.max_seq_length,
+            max_batch=max_batch,
+            k=k,
+        )
