@@ -21,14 +21,14 @@ def main() -> int:
     import jax
 
     platform = jax.devices()[0].platform
-    # Per-chip share of the north star's 10M-item / 8-chip index.
-    num_targets = 1_250_000 if platform != "cpu" else 20_000
+    # Per-chip share of the north star's 10M-item / 8-chip index,
+    # 4096-aligned so the Pallas streaming top-k kernel auto-engages.
+    num_targets = 4096 * 305 if platform != "cpu" else 4096 * 5
     result = run_query_bench(
         num_targets=num_targets,
         encoding_dim=128,
         batch=256,
         k=10,
-        seconds=10.0 if platform != "cpu" else 3.0,
     )
     out = {
         "metric": result["metric"],

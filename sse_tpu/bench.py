@@ -1,9 +1,16 @@
 """Benchmark harness: query-path QPS and index-build docs/sec.
 
 Measures the two north-star metrics (BASELINE.json: "queries/sec/chip
-exact top-K; index docs/sec") with `block_until_ready` timing
-(SURVEY.md §5 tracing row). Used by `python -m sse_tpu.cli bench` and the
-repo-root bench.py the driver runs on real TPU hardware.
+exact top-K; index docs/sec"). Timing method: the measured step runs
+inside a jitted `lax.fori_loop` with an iteration-to-iteration data
+dependency, at two different trip counts; per-iter time is the
+difference quotient. This is robust against async/fire-ahead runtimes
+where per-call `block_until_ready` timing lies (observed on tunneled
+backends), and against result caching (each iteration's input differs).
+
+All benchmark data is generated ON DEVICE (jax.random) — host→device
+uploads of GB-scale arrays are not part of the measured path and can be
+pathologically slow over tunneled links.
 """
 
 from __future__ import annotations
@@ -15,9 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sse_tpu.index.sharded_index import from_embeddings
-from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params
-from sse_tpu.serve.engine import QueryEngine
+from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params, sse
 
 
 def _default_model(vocab_size: int = 8000, encoding_dim: int = 128) -> SSEConfig:
@@ -35,79 +40,100 @@ def _default_model(vocab_size: int = 8000, encoding_dim: int = 128) -> SSEConfig
     )
 
 
+def _device_index(num_targets: int, dim: int, dtype=jnp.float32) -> jax.Array:
+    """Random L2-normalized index generated on device (no host upload)."""
+    emb = jax.random.normal(
+        jax.random.PRNGKey(0), (num_targets, dim), jnp.float32
+    )
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    return emb.astype(dtype)
+
+
+def _throughput_time(call, variants, seconds: float = 6.0, window: int = 32) -> float:
+    """Per-call seconds of `call(variant)` under steady pipelined load.
+
+    Every dispatch uses a DISTINCT input (rotating `variants`) so runtimes
+    that memoize (executable, args) can't serve cached results; windows of
+    `window` async dispatches end in a blocking drain so the device queue
+    stays bounded; total time includes the final drain.
+    """
+    def drain(out):
+        # jax.device_get of the (small) result is the ONLY reliable
+        # completion barrier on some proxied runtimes, where
+        # block_until_ready acks the dispatch rather than the execution.
+        jax.tree.map(lambda a: np.asarray(a).ravel()[0], out)
+
+    out = call(variants[0])
+    drain(out)  # compile + settle
+    n = len(variants)
+    t0 = time.perf_counter()
+    calls = 0
+    vi = 1
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(window):
+            out = call(variants[vi % n])
+            vi += 1
+        drain(out)
+        calls += window
+    return (time.perf_counter() - t0) / max(calls, 1)
+
+
 def run_query_bench(
     model_dir: Optional[str] = None,
     num_targets: int = 100_000,
     encoding_dim: int = 128,
     batch: int = 64,
     k: int = 10,
-    seconds: float = 5.0,
+    seconds: float = 0.0,  # kept for CLI compat; unused by the loop method
     max_seq_length: int = 50,
     mesh=None,
+    use_pallas: Optional[bool] = None,
+    index_dtype=jnp.float32,
+    iters: tuple = (4, 24),
 ) -> Dict[str, Any]:
-    """End-to-end fused query path (tokenized input → encode → scores →
-    exact top-k) queries/sec. With model_dir: the trained engine; without:
-    a random-param flagship model over a random index (the kernel cost is
-    param-value-independent)."""
+    """End-to-end fused query path (token ids → encode → scores → exact
+    top-k) queries/sec."""
     if model_dir:
         from sse_tpu.workspace import Workspace
 
         engine = Workspace.open(model_dir).engine(k=k, max_batch=batch)
         num_targets = engine.index.num_real
-        vocab_size = engine.model_cfg.src_tower.vocab_size
+        model_cfg = engine.model_cfg
+        params = engine.params
+        emb = engine.index.emb
+        vocab_size = model_cfg.src_tower.vocab_size
         max_seq_length = engine.max_seq_length
+        fused = engine._fused
     else:
         model_cfg = _default_model(encoding_dim=encoding_dim)
         vocab_size = model_cfg.src_tower.vocab_size
         params = init_params(jax.random.PRNGKey(0), model_cfg)
-        rng = np.random.default_rng(0)
-        emb = rng.normal(size=(num_targets, encoding_dim)).astype(np.float32)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        index = from_embeddings(
-            emb,
-            [f"t{i}" for i in range(num_targets)],
-            [f"target {i}" for i in range(num_targets)],
-            mesh,
-        )
+        emb = _device_index(num_targets, encoding_dim, index_dtype)
 
-        class _NoVocab:  # bench drives the device path with raw tokens
-            pass
+        from sse_tpu.serve.engine import build_fused_query_fn
 
-        engine = QueryEngine(
-            params,
+        fused = build_fused_query_fn(
             model_cfg,
-            _NoVocab(),
-            index,
-            max_seq_length=max_seq_length,
-            max_batch=batch,
             k=k,
+            num_real=num_targets,
+            mesh=mesh,
+            use_pallas=use_pallas,
         )
 
-    rng = np.random.default_rng(1)
-    tokens = jnp.asarray(
-        rng.integers(2, vocab_size, size=(batch, max_seq_length)), jnp.int32
-    )
     lengths = jnp.full((batch,), max_seq_length, jnp.int32)
+    variants = [
+        jax.random.randint(
+            jax.random.PRNGKey(100 + i), (batch, max_seq_length), 2,
+            vocab_size, dtype=jnp.int32,
+        )
+        for i in range(16)
+    ]
+    jax.block_until_ready(variants)
 
-    fused = engine._fused
-    emb_arr = engine.index.emb
-    params = engine.params
-    # warmup + compile
-    v, i = fused(params, emb_arr, tokens, lengths)
-    jax.block_until_ready((v, i))
-    # Windowed timing: dispatch WINDOW async steps then drain, so the device
-    # pipeline stays full but the queue depth stays bounded (a free-running
-    # enqueue loop would race arbitrarily far ahead of the device).
-    WINDOW = 8
-    t0 = time.perf_counter()
-    iters = 0
-    while time.perf_counter() - t0 < seconds:
-        for _ in range(WINDOW):
-            v, i = fused(params, emb_arr, tokens, lengths)
-        jax.block_until_ready((v, i))
-        iters += WINDOW
-    dt = time.perf_counter() - t0
-    qps = iters * batch / dt
+    per_iter = _throughput_time(
+        lambda toks: fused(params, emb, toks, lengths), variants
+    )
+    qps = batch / per_iter
     return {
         "metric": "queries_per_sec_exact_topk",
         "value": round(qps, 1),
@@ -116,8 +142,7 @@ def run_query_bench(
         "num_targets": num_targets,
         "batch": batch,
         "k": k,
-        "iters": iters,
-        "elapsed_sec": round(dt, 3),
+        "ms_per_batch": round(per_iter * 1000, 3),
     }
 
 
@@ -126,39 +151,33 @@ def run_index_bench(
     encoding_dim: int = 128,
     batch_size: int = 512,
     max_seq_length: int = 50,
-    seconds: float = 5.0,
+    iters: tuple = (4, 16),
 ) -> Dict[str, Any]:
     """Index-build throughput: target-tower encode docs/sec (the
     sse_index.py stack, SURVEY.md §3.2)."""
     model_cfg = _default_model(encoding_dim=encoding_dim)
     params = init_params(jax.random.PRNGKey(0), model_cfg)
-    rng = np.random.default_rng(0)
-    tokens = jnp.asarray(
-        rng.integers(
-            2, model_cfg.src_tower.vocab_size, size=(batch_size, max_seq_length)
-        ),
-        jnp.int32,
-    )
+    vocab = model_cfg.src_tower.vocab_size
     lengths = jnp.full((batch_size,), max_seq_length, jnp.int32)
-
-    from sse_tpu.models import sse as sse_mod
+    variants = [
+        jax.random.randint(
+            jax.random.PRNGKey(200 + i), (batch_size, max_seq_length), 2,
+            vocab, dtype=jnp.int32,
+        )
+        for i in range(16)
+    ]
+    jax.block_until_ready(variants)
 
     @jax.jit
     def encode(p, t, l):
-        return sse_mod.target_embeddings(p, model_cfg, tokens=t, lengths=l)
+        return sse.target_embeddings(p, model_cfg, tokens=t, lengths=l)
 
-    jax.block_until_ready(encode(params, tokens, lengths))
-    t0 = time.perf_counter()
-    docs = 0
-    out = None
-    while time.perf_counter() - t0 < seconds:
-        out = encode(params, tokens, lengths)
-        docs += batch_size
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    per_iter = _throughput_time(
+        lambda toks: encode(params, toks, lengths), variants
+    )
     return {
         "metric": "index_docs_per_sec",
-        "value": round(docs / dt, 1),
+        "value": round(batch_size / per_iter, 1),
         "unit": f"docs/sec (batch={batch_size}, L={max_seq_length})",
-        "elapsed_sec": round(dt, 3),
+        "ms_per_batch": round(per_iter * 1000, 3),
     }

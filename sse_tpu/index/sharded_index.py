@@ -152,7 +152,13 @@ def from_embeddings(
 ) -> ShardedIndex:
     """Wrap host embeddings [T, D] into a (padded, sharded) index."""
     t, d = emb.shape
-    t_pad = _round_up(max(t, 1), _shard_count(mesh) * 8)
+    shards = _shard_count(mesh)
+    # Large indexes pad to 4096-aligned shards so the Pallas streaming
+    # top-k kernel's block grid divides evenly (sse_tpu.ops.fused_topk);
+    # small (demo-scale) indexes keep minimal padding — they take the XLA
+    # path where alignment doesn't matter.
+    align = 4096 if t >= 65536 else 8
+    t_pad = _round_up(max(t, 1), shards * align)
     padded = np.zeros((t_pad, d), np.float32)
     padded[:t] = emb
     arr = jnp.asarray(padded)

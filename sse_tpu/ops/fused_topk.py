@@ -1,0 +1,155 @@
+"""Streaming fused score + exact top-k Pallas kernel.
+
+The serving matmul's XLA form materializes the [B, T] score matrix in HBM
+(write + read-back by top_k ≈ 2.5 GB at B=256, T=1.25M) — measured
+~14 ms/batch on v5e. This kernel streams index blocks HBM→VMEM (Pallas
+auto-pipelines the grid with double buffering), scores them on the MXU,
+and folds each block into a running top-k held in VMEM scratch, so HBM
+traffic is just the index itself (one read): ~4× less traffic.
+
+Exact selection, same tie-breaking as lax.top_k (lowest index wins).
+Rows >= num_real (padding) are masked to -inf in-kernel; num_real is a
+runtime scalar so shard_map can pass per-shard values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -3.0e38  # python scalar: jnp constants get captured by pallas tracing
+
+
+def _topk_passes(scores, gidx, k):
+    """Exact top-k of [B, C] by k (max, select-index, mask) passes.
+    Returns ([B, k] values, [B, k] indices). Ties → lowest index."""
+    vals = []
+    idxs = []
+    big = jnp.int32(2**30)
+    for _ in range(k):
+        m = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
+        hit = scores == m
+        # lowest global index among the argmax columns
+        cand = jnp.where(hit, gidx, big)
+        mi = jnp.min(cand, axis=1, keepdims=True)  # [B, 1]
+        vals.append(m)
+        idxs.append(mi)
+        scores = jnp.where(cand == mi, NEG, scores)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        rv[:] = jnp.full_like(rv, NEG)
+        ri[:] = jnp.full_like(ri, 2**30)
+
+    num_real = nr_ref[0]
+    q = q_ref[:]  # [B, D]
+    blk = emb_ref[:]  # [BT, D]
+    scores = jax.lax.dot_general(
+        q,
+        blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, BT]
+    row0 = i * block_t
+    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # Only blocks straddling the real/padding boundary pay the mask pass.
+    scores = jax.lax.cond(
+        row0 + block_t > num_real,
+        lambda s: jnp.where(gidx < num_real, s, NEG),
+        lambda s: s,
+        scores,
+    )
+
+    bv, bi = _topk_passes(scores, gidx, k)  # block-local top-k [B, k]
+    # fold into running top-k: 2k-wide merge
+    cat_v = jnp.concatenate([rv[:], bv], axis=1)
+    cat_i = jnp.concatenate([ri[:], bi], axis=1)
+    mv, mi = _topk_passes(cat_v, cat_i, k)
+    rv[:] = mv
+    ri[:] = mi
+
+    @pl.when(i == nblocks - 1)
+    def _():
+        vals_ref[:] = rv[:]
+        idx_ref[:] = ri[:]
+
+
+def pick_block_t(t_pad: int, batch: int, d: int, itemsize: int) -> Optional[int]:
+    """Largest block_t dividing t_pad that fits the VMEM budget
+    (scores [B, BT] f32 + 2 pipelined emb blocks [BT, D]); None if no
+    worthwhile block size exists (tiny index → XLA path is fine)."""
+    budget = 10 * 1024 * 1024
+    for bt in (8192, 4096, 2048, 1024, 512):
+        if t_pad % bt:
+            continue
+        if batch * bt * 4 + 2 * bt * d * itemsize <= budget:
+            return bt
+    return None
+
+
+def fused_score_topk(
+    q: jax.Array,  # [B, D] queries
+    emb: jax.Array,  # [T_pad, D] index rows (T_pad % block_t == 0)
+    k: int,
+    num_real,  # int or traced int32 scalar: rows >= num_real are padding
+    block_t: int = 4096,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k (values, row indices) of q @ emb.T without
+    materializing the score matrix.
+
+    `emb` may be bfloat16 (halves HBM traffic; scores still accumulate in
+    float32 on the MXU).
+    """
+    b, d = q.shape
+    t_pad = emb.shape[0]
+    if t_pad % block_t:
+        raise ValueError(f"T_pad {t_pad} not a multiple of block_t {block_t}")
+    nblocks = t_pad // block_t
+    kernel = functools.partial(_kernel, k=k, block_t=block_t)
+    q = q.astype(emb.dtype)
+    nr = jnp.asarray(num_real, jnp.int32).reshape((1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        # index maps take (grid idx, scalar-prefetch ref)
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_t, d), lambda i, nr: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * t_pad,
+            bytes_accessed=t_pad * d * emb.dtype.itemsize + b * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nr, q, emb)

@@ -1,27 +1,122 @@
 """The fused query path: tokenize (host) → ONE device program → top-N ids.
 
 North-star stack (SURVEY.md §3.3 build mapping): no host round-trips
-between encode and top-k. With a mesh, the index matmul runs shard-local
-inside shard_map and only S·k candidates cross ICI (exact merge,
-sse_tpu.parallel.topk); single-device falls back to plain matmul + top_k
-in the same jit program.
+between encode and top-k. Scoring backend selection:
+
+  * on TPU, the Pallas streaming kernel (sse_tpu.ops.fused_topk) scores
+    index blocks in VMEM so the [B, T] score matrix never touches HBM;
+  * otherwise (CPU tests / tiny indexes) the plain XLA matmul + top_k;
+  * with a mesh, either backend runs per-shard inside shard_map and only
+    S·k candidates cross ICI (exact merge — sse_tpu.parallel.topk).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sse_tpu.index.sharded_index import ShardedIndex
 from sse_tpu.models import sse
 from sse_tpu.models.sse import SSEConfig
+from sse_tpu.ops.fused_topk import fused_score_topk, pick_block_t
 from sse_tpu.parallel.topk import NEG_INF
 from sse_tpu.text.subword import EOS_ID, SubwordVocab
+
+
+def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t, interpret):
+    """Per-shard scoring + local top-k with GLOBAL row indices."""
+    t_local = emb_block.shape[0]
+    row0 = jax.lax.axis_index(axis) * t_local if axis else 0
+    nr_local = (
+        jnp.clip(jnp.asarray(num_real, jnp.int32) - row0, 0, t_local)
+        if axis
+        else num_real
+    )
+    if use_pallas:
+        vals, idx = fused_score_topk(
+            q, emb_block, k, nr_local, block_t, interpret=interpret
+        )
+        return vals, idx + row0
+    scores = jnp.dot(q, emb_block.T, preferred_element_type=jnp.float32)
+    lids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(lids < nr_local, scores, NEG_INF)
+    if k > t_local:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, k - t_local)), constant_values=NEG_INF
+        )
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, jnp.minimum(idx, t_local - 1) + row0
+
+
+def build_fused_query_fn(
+    model_cfg: SSEConfig,
+    k: int,
+    num_real: int,
+    mesh: Optional[Mesh] = None,
+    batch: Optional[int] = None,
+    t_pad: Optional[int] = None,
+    emb_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> Callable:
+    """Compile-ready fused(params, emb, tokens, lengths) → (vals, rows).
+
+    `use_pallas=None` auto-selects: Pallas on TPU backends when a
+    VMEM-fitting block size divides the (per-shard) index length.
+    """
+    sharded = mesh is not None and mesh.shape["model"] > 1
+    n_shards = mesh.shape["model"] if sharded else 1
+
+    def resolve_backend(t_pad_local, b):
+        bt = pick_block_t(t_pad_local, b, model_cfg.encoding_dim,
+                          jnp.dtype(emb_dtype).itemsize)
+        if use_pallas is None:
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            return (on_tpu and bt is not None and k <= 128), bt
+        if use_pallas and bt is None:
+            raise ValueError(
+                f"no valid pallas block size for per-shard T={t_pad_local}"
+            )
+        return use_pallas, bt
+
+    if sharded:
+        axis = "model"
+
+        def body(params, emb_block, tokens, lengths):
+            q = sse.encode_source(params, model_cfg, tokens, lengths)
+            pallas_on, bt = resolve_backend(emb_block.shape[0], q.shape[0])
+            vals, gidx = _shard_topk(
+                q, emb_block, k, num_real, axis, pallas_on, bt, interpret
+            )
+            all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+            mvals, mpos = jax.lax.top_k(all_vals, k)
+            midx = jnp.take_along_axis(all_idx, mpos, axis=1)
+            return mvals, midx
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P("model", None), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,  # outputs identical post-all_gather
+            )
+        )
+
+    @jax.jit
+    def fused(params, emb, tokens, lengths):
+        q = sse.encode_source(params, model_cfg, tokens, lengths)
+        pallas_on, bt = resolve_backend(emb.shape[0], q.shape[0])
+        return _shard_topk(
+            q, emb, k, num_real, None, pallas_on, bt, interpret
+        )
+
+    return fused
 
 
 class QueryEngine:
@@ -40,6 +135,7 @@ class QueryEngine:
         max_seq_length: int = 50,
         max_batch: int = 8,
         k: int = 10,
+        use_pallas: Optional[bool] = None,
     ):
         if index.mesh is not None:
             # index rows live across the mesh; params ride along replicated
@@ -51,68 +147,15 @@ class QueryEngine:
         self.max_seq_length = max_seq_length
         self.max_batch = max_batch
         self.k = min(k, index.num_real)
-        self._fused = self._build_fused()
-
-    # ------------------------------------------------------------- device
-    def _build_fused(self):
-        cfg = self.model_cfg
-        k = self.k
-        mesh = self.index.mesh
-        num_real = self.index.num_real
-
-        if mesh is not None and mesh.shape["model"] > 1:
-            axis = "model"
-
-            def body(params, emb_block, tokens, lengths):
-                # emb_block: this shard's [T_local, D] rows (closed over
-                # sharding via in_specs). Encode runs replicated per shard —
-                # it is tiny next to the index matmul.
-                q = sse.encode_source(params, cfg, tokens, lengths)
-                scores = jnp.dot(
-                    q, emb_block.T, preferred_element_type=jnp.float32
-                )  # [B, T_local] — shard-local MXU work
-                t_local = scores.shape[-1]
-                row0 = jax.lax.axis_index(axis) * t_local
-                gids = row0 + jax.lax.broadcasted_iota(
-                    jnp.int32, scores.shape, 1
-                )
-                scores = jnp.where(gids < num_real, scores, NEG_INF)
-                if k > t_local:
-                    pad = k - t_local
-                    scores = jnp.pad(
-                        scores, ((0, 0), (0, pad)), constant_values=NEG_INF
-                    )
-                vals, idx = jax.lax.top_k(scores, k)
-                idx = jnp.minimum(idx, t_local - 1) + row0
-                all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
-                all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
-                mvals, mpos = jax.lax.top_k(all_vals, k)
-                midx = jnp.take_along_axis(all_idx, mpos, axis=1)
-                return mvals, midx
-
-            fused = jax.jit(
-                jax.shard_map(
-                    body,
-                    mesh=mesh,
-                    in_specs=(P(), P(axis, None), P(), P()),
-                    out_specs=(P(), P()),
-                    check_vma=False,  # outputs identical post-all_gather
-                )
-            )
-        else:
-
-            @jax.jit
-            def fused(params, emb, tokens, lengths):
-                q = sse.encode_source(params, cfg, tokens, lengths)
-                scores = jnp.dot(
-                    q, emb.T, preferred_element_type=jnp.float32
-                )
-                t_pad = scores.shape[-1]
-                gids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-                scores = jnp.where(gids < num_real, scores, NEG_INF)
-                return jax.lax.top_k(scores, k)
-
-        return fused
+        self._fused = build_fused_query_fn(
+            model_cfg,
+            k=self.k,
+            num_real=index.num_real,
+            mesh=index.mesh,
+            t_pad=index.padded_size,
+            emb_dtype=index.emb.dtype,
+            use_pallas=use_pallas,
+        )
 
     # --------------------------------------------------------------- host
     def encode_queries(self, texts: Sequence[str]):

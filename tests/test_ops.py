@@ -1,0 +1,100 @@
+"""Pallas kernel tests (interpret mode on CPU — SURVEY.md §4; real-TPU
+numerics are cross-checked in the benchmark harness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sse_tpu.ops.fused_topk import fused_score_topk, pick_block_t
+
+
+def _reference(q, emb, k, num_real):
+    s = np.asarray(q) @ np.asarray(emb).T
+    s[:, num_real:] = -np.inf
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(s, idx, axis=1)
+    return vals, idx
+
+
+@pytest.mark.parametrize("num_real_off", [0, 3])
+@pytest.mark.parametrize("k", [1, 10])
+def test_fused_topk_exact_interpret(k, num_real_off):
+    b, d, t = 8, 32, 1024
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
+    num_real = t - num_real_off
+    vals, idx = fused_score_topk(
+        q, emb, k, num_real, block_t=512, interpret=True
+    )
+    evals, eidx = _reference(q, emb, k, num_real)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=2e-2)
+
+
+def test_fused_topk_tie_breaking_interpret():
+    """Duplicate max values → lowest row index first (lax.top_k parity)."""
+    b, d, t = 8, 16, 256
+    q = jnp.ones((b, d), jnp.float32)
+    emb = np.zeros((t, d), np.float32)
+    emb[7] = 1.0
+    emb[100] = 1.0  # identical row → identical score
+    emb[42] = 0.5
+    vals, idx = fused_score_topk(
+        q, jnp.asarray(emb), 3, t, block_t=128, interpret=True
+    )
+    assert list(np.asarray(idx)[0]) == [7, 100, 42]
+
+
+def test_fused_topk_num_real_traced_interpret():
+    """num_real as a traced scalar (the shard_map path passes one)."""
+    b, d, t = 8, 16, 512
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
+
+    @jax.jit
+    def run(q, emb, nr):
+        return fused_score_topk(q, emb, 5, nr, block_t=256, interpret=True)
+
+    vals, idx = run(q, emb, jnp.int32(300))
+    evals, eidx = _reference(q, emb, 5, 300)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
+def test_pick_block_t():
+    assert pick_block_t(4096 * 305, 256, 128, 4) == 4096
+    assert pick_block_t(4096 * 305, 64, 128, 4) in (4096, 8192)
+    assert pick_block_t(1000, 8, 128, 4) is None  # no pow2 divisor
+    assert pick_block_t(512, 8, 128, 4) == 512
+
+
+def test_engine_pallas_flag_cpu_interpret():
+    """use_pallas + interpret path through build_fused_query_fn matches the
+    XLA path end-to-end (single device)."""
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params
+    from sse_tpu.serve.engine import build_fused_query_fn
+
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=TowerConfig(
+            vocab_size=60, embed_dim=16, hidden=16, encoding_dim=16
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(512, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = jnp.asarray(emb)
+    tokens = jnp.asarray(rng.integers(2, 60, size=(8, 12)), jnp.int32)
+    lengths = jnp.full((8,), 12, jnp.int32)
+
+    xla_fn = build_fused_query_fn(model_cfg, k=5, num_real=500, use_pallas=False)
+    pl_fn = build_fused_query_fn(
+        model_cfg, k=5, num_real=500, use_pallas=True, interpret=True
+    )
+    xv, xi = xla_fn(params, emb, tokens, lengths)
+    pv, pi = pl_fn(params, emb, tokens, lengths)
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(pi))
+    np.testing.assert_allclose(np.asarray(xv), np.asarray(pv), rtol=1e-5)
