@@ -115,36 +115,43 @@ def init_tower(key: jax.Array, cfg: TowerConfig) -> Params:
 
 
 # ------------------------------------------------------------ rnn towers
-def _gru_step(w, b, x, h):
-    """Fused GRU step. x [B,E] h [B,H] -> h' [B,H]. fp32 carry."""
-    H = h.shape[-1]
-    xh = jnp.concatenate([x, h.astype(_COMPUTE_DTYPE)], axis=-1)
-    gates = (
-        jnp.dot(xh, w.astype(_COMPUTE_DTYPE), preferred_element_type=jnp.float32)
-        + b
-    )
+#
+# TPU decomposition: gate pre-activations are linear in [x; h], so the
+# x-side projection of EVERY timestep is hoisted out of the recurrence as
+# ONE large MXU matmul ([L·B, E] x [E, G·H]); the sequential scan then only
+# does the small h-recurrence ([B, H] x [H, G·H] per step) — half the
+# sequential FLOPs and the hoisted half runs at full MXU efficiency.
+# The scan itself has a Pallas drop-in (sse_tpu/ops/pallas_rnn.py) that
+# keeps W_h and the carry in VMEM across all timesteps.
+
+
+def gru_cell(gates, h):
+    """Elementwise GRU update from combined pre-activations [B, 3H].
+    Fused variant: reset gate scales the whole candidate pre-activation
+    (h' = z·h + (1−z)·tanh(r ⊙ n_pre)) so the recurrence needs exactly one
+    matmul per step instead of textbook-GRU's two sequential ones."""
     z, r, n_pre = jnp.split(gates, 3, axis=-1)
-    # Fully-fused GRU variant: one [x;h] matmul per step (vs. textbook GRU's
-    # reset gate applied to h *before* its candidate matmul, which would cost
-    # a second sequential MXU call). The reset gate instead scales the whole
-    # candidate pre-activation: h' = z*h + (1-z)*tanh(r ⊙ n_pre).
     z = jax.nn.sigmoid(z)
     r = jax.nn.sigmoid(r)
     n = jnp.tanh(n_pre * r)
     return (1.0 - z) * n + z * h
 
 
-def _lstm_step(w, b, x, state):
-    h, c = state
-    xh = jnp.concatenate([x, h.astype(_COMPUTE_DTYPE)], axis=-1)
-    gates = (
-        jnp.dot(xh, w.astype(_COMPUTE_DTYPE), preferred_element_type=jnp.float32)
-        + b
-    )
+def lstm_cell(gates, h, c):
+    """Elementwise LSTM update from combined pre-activations [B, 4H]."""
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
     return h_new, c_new
+
+
+def _split_weights(layer: Params, cell: str):
+    """The checkpoint layout keeps one fused [(in+H), G·H] kernel; split it
+    into the hoistable x-part and the recurrent h-part."""
+    n_gates = 3 if cell == "gru" else 4
+    h = layer["w"].shape[1] // n_gates
+    in_dim = layer["w"].shape[0] - h
+    return layer["w"][:in_dim], layer["w"][in_dim:], layer["b"]
 
 
 def _rnn_layer(
@@ -153,32 +160,51 @@ def _rnn_layer(
     """Run one RNN layer. xs [L,B,E] (compute dtype), mask [L,B,1] fp32.
     Returns (outputs [L,B,H] compute dtype, final hidden [B,H] fp32)."""
     B = xs.shape[1]
-    H = layer["w"].shape[1] // (3 if cell == "gru" else 4)
-    w, b = layer["w"], layer["b"]
+    wx, wh, b = _split_weights(layer, cell)
+    H = wh.shape[0]
+    wh_c = wh.astype(_COMPUTE_DTYPE)
+
+    # Hoisted x-projection for all timesteps: one big MXU matmul.
+    ax = (
+        jnp.dot(
+            xs.reshape(-1, xs.shape[-1]),
+            wx.astype(_COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        + b
+    ).reshape(xs.shape[0], B, -1)  # [L, B, G*H] fp32
 
     if cell == "gru":
         h0 = jnp.zeros((B, H), jnp.float32)
 
         def step(h, inp):
-            x_t, m_t = inp
-            h_new = _gru_step(w, b, x_t, h)
+            a_t, m_t = inp
+            gates = a_t + jnp.dot(
+                h.astype(_COMPUTE_DTYPE), wh_c,
+                preferred_element_type=jnp.float32,
+            )
+            h_new = gru_cell(gates, h)
             h = m_t * h_new + (1.0 - m_t) * h  # freeze carry past length
             return h, h.astype(_COMPUTE_DTYPE)
 
-        h_fin, ys = jax.lax.scan(step, h0, (xs, mask))
+        h_fin, ys = jax.lax.scan(step, h0, (ax, mask))
         return ys, h_fin
     else:
         state0 = (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
 
         def step(state, inp):
-            x_t, m_t = inp
+            a_t, m_t = inp
             h, c = state
-            h_new, c_new = _lstm_step(w, b, x_t, state)
+            gates = a_t + jnp.dot(
+                h.astype(_COMPUTE_DTYPE), wh_c,
+                preferred_element_type=jnp.float32,
+            )
+            h_new, c_new = lstm_cell(gates, h, c)
             h = m_t * h_new + (1.0 - m_t) * h
             c = m_t * c_new + (1.0 - m_t) * c
             return (h, c), h.astype(_COMPUTE_DTYPE)
 
-        (h_fin, _), ys = jax.lax.scan(step, state0, (xs, mask))
+        (h_fin, _), ys = jax.lax.scan(step, state0, (ax, mask))
         return ys, h_fin
 
 
@@ -294,9 +320,9 @@ def encode_raw(
     valid = (pos < lengths[:, None]).astype(jnp.float32)  # [B,L]
 
     if cfg.cell in ("gru", "lstm"):
-        if cfg.use_pallas_scan:
-            from sse_tpu.ops import pallas_rnn  # lazy: optional fast path
+        from sse_tpu.ops import pallas_rnn  # lazy: optional fast path
 
+        if cfg.use_pallas_scan and pallas_rnn.supported(cfg, B):
             final = pallas_rnn.rnn_encode(params, cfg, emb, valid)
         else:
             xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L,B,E]
