@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import os
+import weakref
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -117,6 +118,34 @@ def _encode_line(vocab: SubwordVocab, text: str, max_len: int) -> Tuple[np.ndarr
     return arr, len(ids)
 
 
+def batch_encode(
+    vocab: SubwordVocab, texts: Sequence[str], max_len: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode many lines → ([N, max_len] tokens, [N] lengths), EOS-padded.
+
+    Uses the C++ native encoder (sse_tpu.native — bit-identical, ~50×)
+    when a toolchain is available; pure-Python fallback otherwise."""
+    try:
+        from sse_tpu.native import NativeSubwordEncoder, native_available
+
+        if native_available():
+            enc = _native_cache.get(vocab)
+            if enc is None:
+                enc = NativeSubwordEncoder(vocab)
+                _native_cache[vocab] = enc
+            return enc.encode_batch(texts, max_len, EOS_ID)
+    except Exception:
+        pass  # any native failure → correct-but-slower path
+    tokens = np.zeros((len(texts), max_len), dtype=np.int32)
+    lengths = np.zeros((len(texts),), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens[i], lengths[i] = _encode_line(vocab, text, max_len)
+    return tokens, lengths
+
+
+_native_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def encode_target_space(
     vocab: SubwordVocab,
     target_rows: Sequence[Tuple[str, str]],
@@ -145,10 +174,7 @@ def encode_target_space(
                         lengths=z["lengths"],
                         id_to_row={t: i for i, t in enumerate(ids)},
                     )
-    tokens = np.zeros((len(ids), max_seq_length), dtype=np.int32)
-    lengths = np.zeros((len(ids),), dtype=np.int32)
-    for i, txt in enumerate(texts):
-        tokens[i], lengths[i] = _encode_line(vocab, txt, max_seq_length)
+    tokens, lengths = batch_encode(vocab, texts, max_seq_length)
     if cache_path and key is not None:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         np.savez(cache_path, key=key, tokens=tokens, lengths=lengths)
@@ -170,8 +196,7 @@ def encode_pairs(
 ) -> EncodedPairs:
     """Encode pair rows against a target space; unknown target ids are
     dropped (with the reference's forgiving behavior) or raise."""
-    srcs: List[np.ndarray] = []
-    lens: List[int] = []
+    texts: List[str] = []
     labels: List[int] = []
     label_sets: List[Tuple[int, ...]] = []
     for src_text, tgt_ids in pair_rows:
@@ -184,16 +209,15 @@ def encode_pairs(
             if drop_unknown_targets:
                 continue
             raise KeyError(f"no known target ids in {tgt_ids!r}")
-        arr, n = _encode_line(vocab, src_text, max_seq_length)
-        srcs.append(arr)
-        lens.append(n)
+        texts.append(src_text)
         labels.append(rows[0])
         label_sets.append(tuple(rows))
-    if not srcs:
+    if not texts:
         raise ValueError("no usable pairs after encoding")
+    src, src_len = batch_encode(vocab, texts, max_seq_length)
     return EncodedPairs(
-        src=np.stack(srcs),
-        src_len=np.asarray(lens, dtype=np.int32),
+        src=src,
+        src_len=src_len,
         labels=np.asarray(labels, dtype=np.int32),
         label_sets=label_sets,
     )

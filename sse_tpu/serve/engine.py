@@ -159,14 +159,13 @@ class QueryEngine:
 
     # --------------------------------------------------------------- host
     def encode_queries(self, texts: Sequence[str]):
-        """Tokenize + pad a query batch to static shape (host side)."""
+        """Tokenize + pad a query batch to static shape (host side; C++
+        native encoder when available — sse_tpu.native)."""
+        from sse_tpu.data.corpus import batch_encode
+
         b = self.max_batch
-        tokens = np.zeros((b, self.max_seq_length), np.int32)
-        lengths = np.ones((b,), np.int32)
-        for i, text in enumerate(texts[:b]):
-            ids = self.vocab.encode(text)[: self.max_seq_length - 1] + [EOS_ID]
-            tokens[i, : len(ids)] = ids
-            lengths[i] = len(ids)
+        padded = list(texts[:b]) + [""] * (b - min(len(texts), b))
+        tokens, lengths = batch_encode(self.vocab, padded, self.max_seq_length)
         return jnp.asarray(tokens), jnp.asarray(lengths)
 
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:

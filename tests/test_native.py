@@ -1,0 +1,66 @@
+"""Native (C++) subword encoder: bit-parity with the Python encoder on
+every sample, batch padding convention, and a speedup sanity check."""
+
+import time
+
+import numpy as np
+import pytest
+
+from sse_tpu.native import NativeSubwordEncoder, native_available
+from sse_tpu.text.subword import EOS_ID, SubwordVocab, token_counts_from_lines
+from tests.test_text import SAMPLES, _demo_lines
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="no C++ toolchain available"
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    vocab = SubwordVocab.build_to_target_size(
+        300, token_counts_from_lines(_demo_lines())
+    )
+    return vocab, NativeSubwordEncoder(vocab)
+
+
+def test_parity_on_samples(pair):
+    vocab, native = pair
+    for text in SAMPLES + _demo_lines():
+        assert native.encode(text) == vocab.encode(text), repr(text)
+
+
+def test_parity_random_unicode(pair):
+    import random, string
+
+    vocab, native = pair
+    rng = random.Random(0)
+    chars = string.printable + "éß北🙂_\\;caffènaïve"
+    for _ in range(300):
+        s = "".join(rng.choice(chars) for _ in range(rng.randrange(60)))
+        assert native.encode(s) == vocab.encode(s), repr(s)
+
+
+def test_batch_convention_matches_corpus(pair):
+    vocab, native = pair
+    texts = _demo_lines()[:8] + ["", "x" * 100]
+    L = 12
+    tokens, lengths = native.encode_batch(texts, L, EOS_ID)
+    for i, t in enumerate(texts):
+        ids = vocab.encode(t)[: L - 1] + [EOS_ID]
+        assert lengths[i] == len(ids)
+        np.testing.assert_array_equal(tokens[i, : len(ids)], ids)
+        assert (tokens[i, len(ids) :] == 0).all()
+
+
+def test_speedup(pair):
+    vocab, native = pair
+    texts = (_demo_lines() * 50)[:1000]
+    t0 = time.perf_counter()
+    for t in texts:
+        vocab.encode(t)
+    py_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    native.encode_batch(texts, 32)
+    nat_dt = time.perf_counter() - t0
+    # conservative: CI boxes vary; locally this is 30-100x
+    assert nat_dt < py_dt, (py_dt, nat_dt)
