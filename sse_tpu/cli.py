@@ -105,6 +105,41 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_visualize(args) -> int:
+    """Export target embeddings in TensorBoard-projector TSV format
+    (the reference main()'s visualize mode analog — SURVEY.md §2.1)."""
+    from sse_tpu.index import ShardedIndex
+    from sse_tpu.workspace import Workspace
+
+    import numpy as np
+
+    ws = Workspace.open(args.model_dir)
+    if os.path.isdir(ws.index_dir):
+        index = ShardedIndex.load(ws.index_dir)
+    elif args.data_dir:
+        index = ws.build_index(args.data_dir)
+    else:
+        print("error: no built index; pass --data_dir", file=sys.stderr)
+        return 2
+    os.makedirs(args.out_dir, exist_ok=True)
+    emb = np.asarray(index.emb)[: index.num_real]
+    with open(os.path.join(args.out_dir, "tensors.tsv"), "w") as f:
+        for row in emb:
+            f.write("\t".join(f"{v:.6f}" for v in row) + "\n")
+    with open(
+        os.path.join(args.out_dir, "metadata.tsv"), "w", encoding="utf-8"
+    ) as f:
+        f.write("targetId\ttargetText\n")
+        for tid, text in zip(index.ids, index.texts):
+            f.write(f"{tid}\t{text}\n")
+    print(
+        f"[sse] wrote {emb.shape[0]}x{emb.shape[1]} embeddings to "
+        f"{args.out_dir}/tensors.tsv (+ metadata.tsv) — load in the "
+        "TensorBoard Embedding Projector"
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     from sse_tpu.serve import serve_http
     from sse_tpu.workspace import Workspace
@@ -188,6 +223,16 @@ def main(argv=None) -> int:
     p.add_argument("--model_dir", required=True)
     p.add_argument("--data_dir", required=True)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "visualize",
+        help="export embeddings for the TensorBoard projector "
+        "(reference: visualize mode)",
+    )
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--out_dir", required=True)
+    p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("serve", help="HTTP query serving (reference: webserver)")
     p.add_argument("--model_dir", required=True)

@@ -37,6 +37,7 @@ class TaskConfig:
     num_layers: int = 1
     encoding_dim: int = 128
     cell: str = "gru"  # gru | lstm | transformer
+    readout: str = "final"  # final | mean | attention (towers.TowerConfig)
     # training
     batch_size: int = 128
     learning_rate: float = 0.01
@@ -63,6 +64,7 @@ class TaskConfig:
             num_layers=self.num_layers,
             encoding_dim=self.encoding_dim,
             cell=self.cell,
+            readout=self.readout,
             max_len=max(self.max_seq_length, 512),
         )
         mode = NetworkMode(self.network_mode)
@@ -133,6 +135,7 @@ QNA = TaskConfig(
     task_type="qna",
     network_mode="dual-encoder",
     cell="lstm",
+    readout="attention",  # BASELINE.json configs[3]: attention readout
     loss_kind="sampled",
     num_negatives=128,
 )

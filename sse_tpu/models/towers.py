@@ -41,6 +41,13 @@ class TowerConfig:
     num_layers: int = 1  # reference: num_layers
     encoding_dim: int = 64  # reference: encoding_size (shared space)
     cell: str = "gru"  # gru | lstm | transformer
+    # readout of the state sequence into one vector:
+    #   final     — state at each row's own length (rnn default; the
+    #               reference's dynamic_rnn final-state behavior)
+    #   mean      — masked mean pool (transformer default)
+    #   attention — self-attentive pooling (qna config's "attention
+    #               readout over encoder states", BASELINE.json configs[3])
+    readout: str = "final"
     # transformer-only:
     num_heads: int = 4
     mlp_ratio: int = 4
@@ -63,6 +70,11 @@ def init_tower(key: jax.Array, cfg: TowerConfig) -> Params:
         "proj_w": _glorot(keys[1], (cfg.hidden, cfg.encoding_dim)),
         "proj_b": jnp.zeros((cfg.encoding_dim,)),
     }
+    if cfg.readout == "attention":
+        ka, kv = jax.random.split(keys[2 + cfg.num_layers])
+        p["attn_w"] = _glorot(ka, (cfg.hidden, cfg.hidden))
+        p["attn_b"] = jnp.zeros((cfg.hidden,))
+        p["attn_v"] = jax.random.normal(kv, (cfg.hidden,)) * 0.05
     if cfg.cell in ("gru", "lstm"):
         n_gates = 3 if cfg.cell == "gru" else 4
         layers = []
@@ -291,11 +303,32 @@ def _transformer_encode(
             )
             + blk["mlp_out_b"]
         )
-    x = _layer_norm(x, p["ln_f_scale"], p["ln_f_bias"])
-    # masked mean pool (attention readout over states — the qna config's
-    # "attention readout" upgrade hooks in here)
+    return _layer_norm(x, p["ln_f_scale"], p["ln_f_bias"])  # [B, L, H]
+
+
+# ---------------------------------------------------------------- readout
+def _masked_mean(states: jax.Array, valid: jax.Array) -> jax.Array:
+    """states [B, L, H], valid [B, L] → [B, H]."""
     denom = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
-    return jnp.sum(x * valid[:, :, None], axis=1) / denom
+    return jnp.sum(states * valid[:, :, None], axis=1) / denom
+
+
+def _attention_readout(p: Params, states: jax.Array, valid: jax.Array) -> jax.Array:
+    """Self-attentive pooling over encoder states (the qna config's
+    'attention readout over encoder states' — BASELINE.json configs[3]):
+    score_t = v · tanh(W·h_t + b), masked softmax, weighted sum."""
+    proj = jnp.tanh(
+        jnp.dot(
+            states.astype(_COMPUTE_DTYPE),
+            p["attn_w"].astype(_COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        + p["attn_b"]
+    )  # [B, L, H]
+    scores = jnp.einsum("blh,h->bl", proj, p["attn_v"])
+    scores = jnp.where(valid > 0, scores, jnp.finfo(jnp.float32).min)
+    alpha = jax.nn.softmax(scores, axis=-1)  # [B, L]
+    return jnp.einsum("bl,blh->bh", alpha, states)
 
 
 # ----------------------------------------------------------------- encode
@@ -322,17 +355,31 @@ def encode_raw(
     if cfg.cell in ("gru", "lstm"):
         from sse_tpu.ops import pallas_rnn  # lazy: optional fast path
 
-        if cfg.use_pallas_scan and pallas_rnn.supported(cfg, B):
+        need_states = cfg.readout != "final"
+        if cfg.use_pallas_scan and pallas_rnn.supported(cfg, B) and not need_states:
             final = pallas_rnn.rnn_encode(params, cfg, emb, valid)
+            states = None
         else:
             xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L,B,E]
             mask = valid.T[:, :, None]  # [L,B,1]
             final = None
             for layer in params["layers"]:
                 xs, final = _rnn_layer(layer, xs, mask, cfg.cell)
-        feats = final  # [B,H] fp32
+            states = xs.transpose(1, 0, 2).astype(jnp.float32)  # [B,L,H]
+        if cfg.readout == "final":
+            feats = final  # [B,H] fp32 — state at each row's own length
+        elif cfg.readout == "mean":
+            feats = _masked_mean(states, valid)
+        elif cfg.readout == "attention":
+            feats = _attention_readout(params, states, valid)
+        else:
+            raise ValueError(f"unknown readout {cfg.readout!r}")
     else:
-        feats = _transformer_encode(params, cfg, emb, valid)
+        states = _transformer_encode(params, cfg, emb, valid)
+        if cfg.readout == "attention":
+            feats = _attention_readout(params, states, valid)
+        else:  # transformers default to masked mean pooling
+            feats = _masked_mean(states, valid)
 
     out = jnp.tanh(
         jnp.dot(
