@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
-
 from sse_tpu.models.sse import NetworkMode, SSEConfig
 from sse_tpu.models.towers import TowerConfig
 from sse_tpu.train.losses import LossConfig
@@ -50,6 +48,9 @@ class TaskConfig:
     steps_per_checkpoint: int = 200
     max_epochs: int = 20
     seed: int = 0
+    # index storage precision: float32 | bfloat16 (bf16 halves HBM → 2x
+    # index rows per chip; scores still accumulate fp32 on the MXU)
+    index_dtype: str = "float32"
     # parallelism (reference: none; SURVEY.md §2.2)
     mesh_data: int = -1
     mesh_model: int = 1

@@ -116,7 +116,7 @@ class ShardedIndex:
     # -------------------------------------------------- reference TSV compat
     def export_tsv(self, path: str) -> None:
         """Write the reference's targetEncodingIndex.tsv format."""
-        emb = np.asarray(self.emb)[: self.num_real]
+        emb = np.asarray(self.emb)[: self.num_real].astype(np.float32)
         with open(path, "w", encoding="utf-8") as f:
             for i in range(self.num_real):
                 vec = " ".join(f"{v:.6f}" for v in emb[i])
@@ -149,8 +149,13 @@ def from_embeddings(
     ids: Sequence[str],
     texts: Sequence[str],
     mesh: Optional[Mesh] = None,
+    dtype=jnp.float32,
 ) -> ShardedIndex:
-    """Wrap host embeddings [T, D] into a (padded, sharded) index."""
+    """Wrap host embeddings [T, D] into a (padded, sharded) index.
+
+    dtype=jnp.bfloat16 halves HBM (2x index rows per chip, ~2x less
+    scoring traffic); scores still accumulate in float32 on the MXU and
+    top-k selection is exact w.r.t. the stored precision."""
     t, d = emb.shape
     shards = _shard_count(mesh)
     # Large indexes pad to 4096-aligned shards so the Pallas streaming
@@ -161,7 +166,7 @@ def from_embeddings(
     t_pad = _round_up(max(t, 1), shards * align)
     padded = np.zeros((t_pad, d), np.float32)
     padded[:t] = emb
-    arr = jnp.asarray(padded)
+    arr = jnp.asarray(padded).astype(dtype)
     if mesh is not None:
         arr = jax.device_put(arr, NamedSharding(mesh, P("model", None)))
     return ShardedIndex(
@@ -176,6 +181,7 @@ def build_index(
     mesh: Optional[Mesh] = None,
     batch_size: int = 256,
     progress: Optional[Callable[[int, int], None]] = None,
+    dtype=jnp.float32,
 ) -> ShardedIndex:
     """Encode the full target space into a sharded index (the reference's
     sse_index.py stack, SURVEY.md §3.2).
@@ -191,6 +197,7 @@ def build_index(
             target_space.ids,
             target_space.texts,
             mesh,
+            dtype=dtype,
         )
 
     @jax.jit
@@ -211,4 +218,6 @@ def build_index(
         if progress:
             progress(min(lo + batch_size, t), t)
     emb = np.concatenate(outs)[:t]
-    return from_embeddings(emb, target_space.ids, target_space.texts, mesh)
+    return from_embeddings(
+        emb, target_space.ids, target_space.texts, mesh, dtype=dtype
+    )

@@ -15,7 +15,6 @@ tests/test_ops_rnn.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -24,7 +24,7 @@ from sse_tpu.models import sse
 from sse_tpu.models.sse import SSEConfig
 from sse_tpu.ops.fused_topk import fused_score_topk, pick_block_t
 from sse_tpu.parallel.topk import NEG_INF
-from sse_tpu.text.subword import EOS_ID, SubwordVocab
+from sse_tpu.text.subword import SubwordVocab
 
 
 def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t, interpret):

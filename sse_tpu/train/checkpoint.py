@@ -11,9 +11,8 @@ sharded target table) checkpoint natively.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from sse_tpu.train.loop import TrainState

@@ -194,7 +194,12 @@ def train(
     best = -float("inf")
     window_losses = []
     t0 = time.perf_counter()
-    for epoch in range(cfg.max_epochs):
+    # Resume semantics: a restored state's step count implies how many
+    # epochs already ran (deterministic iterator), so training continues
+    # toward the SAME max_epochs target instead of adding max_epochs more.
+    start_epoch = min(int(state.step) // max(it.steps_per_epoch, 1),
+                      cfg.max_epochs)
+    for epoch in range(start_epoch, cfg.max_epochs):
         for batch in it.epoch_batches(epoch):
             state, metrics = step_fn(
                 state,

@@ -9,7 +9,6 @@ only --model_dir (the reference re-passed flags instead).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Dict, Optional, Tuple
 
@@ -30,7 +29,7 @@ from sse_tpu.data.corpus import (
 from sse_tpu.evals import Evaluator
 from sse_tpu.index import ShardedIndex, build_index
 from sse_tpu.models.sse import SSEConfig
-from sse_tpu.parallel import batch_sharding, make_mesh, param_shardings
+from sse_tpu.parallel import make_mesh, param_shardings
 from sse_tpu.serve import QueryEngine
 from sse_tpu.text.subword import SubwordVocab
 from sse_tpu.train import TrainState, init_train_state, train as train_loop
@@ -176,8 +175,16 @@ class Workspace:
         model_cfg = self.model_config(vocab, tspace)
         state, mgr = self.restore_state(model_cfg)
         mgr.close()
+        import jax.numpy as _jnp
+
         index = build_index(
-            state.params, model_cfg, tspace, mesh=self.mesh()
+            state.params,
+            model_cfg,
+            tspace,
+            mesh=self.mesh(),
+            dtype=_jnp.bfloat16
+            if self.cfg.index_dtype == "bfloat16"
+            else _jnp.float32,
         )
         index.save(self.index_dir)
         if export_tsv:

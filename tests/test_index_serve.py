@@ -148,3 +148,28 @@ def test_http_api(setup):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_bfloat16_index(setup, tmp_path):
+    """bf16 index storage: same top-1 results, half the bytes, survives
+    save/load and the TSV export."""
+    import jax.numpy as jnp
+
+    vocab, tspace, model_cfg, params, tg = setup
+    idx32 = build_index(params, model_cfg, tspace, batch_size=16)
+    idx16 = build_index(
+        params, model_cfg, tspace, batch_size=16, dtype=jnp.bfloat16
+    )
+    assert idx16.emb.dtype == jnp.bfloat16
+    e1 = QueryEngine(params, model_cfg, vocab, idx32, max_seq_length=L, k=3)
+    e2 = QueryEngine(params, model_cfg, vocab, idx16, max_seq_length=L, k=3)
+    q = ["gudi foso qefo", "zana bole"]
+    for a, b in zip(e1.query(q), e2.query(q)):
+        assert a[0]["targetId"] == b[0]["targetId"]
+    d = str(tmp_path / "bf16idx")
+    idx16.save(d)
+    loaded = ShardedIndex.load(d)
+    assert loaded.emb.dtype == jnp.bfloat16
+    tsv = str(tmp_path / "bf16.tsv")
+    idx16.export_tsv(tsv)
+    assert ShardedIndex.import_tsv(tsv).num_real == idx16.num_real
