@@ -27,7 +27,8 @@ from sse_tpu.parallel.topk import NEG_INF
 from sse_tpu.text.subword import SubwordVocab
 
 
-def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t, interpret):
+def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t,
+                interpret, variant):
     """Per-shard scoring + local top-k with GLOBAL row indices."""
     t_local = emb_block.shape[0]
     row0 = jax.lax.axis_index(axis) * t_local if axis else 0
@@ -38,7 +39,8 @@ def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t, interpret)
     )
     if use_pallas:
         vals, idx = fused_score_topk(
-            q, emb_block, k, nr_local, block_t, interpret=interpret
+            q, emb_block, k, nr_local, block_t, interpret=interpret,
+            variant=variant,
         )
         return vals, idx + row0
     scores = jnp.dot(q, emb_block.T, preferred_element_type=jnp.float32)
@@ -62,11 +64,15 @@ def build_fused_query_fn(
     emb_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    pallas_variant: str = "packed",
 ) -> Callable:
     """Compile-ready fused(params, emb, tokens, lengths) → (vals, rows).
 
     `use_pallas=None` auto-selects: Pallas on TPU backends when a
     VMEM-fitting block size divides the (per-shard) index length.
+    `pallas_variant`: 'packed' (default — selection on 11-mantissa-bit
+    quantized scores, ~1.4x faster; quality-neutral next to the matmul's
+    bf16 operand rounding) or 'exact' (full-precision selection keys).
     """
     sharded = mesh is not None and mesh.shape["model"] > 1
     n_shards = mesh.shape["model"] if sharded else 1
@@ -90,7 +96,8 @@ def build_fused_query_fn(
             q = sse.encode_source(params, model_cfg, tokens, lengths)
             pallas_on, bt = resolve_backend(emb_block.shape[0], q.shape[0])
             vals, gidx = _shard_topk(
-                q, emb_block, k, num_real, axis, pallas_on, bt, interpret
+                q, emb_block, k, num_real, axis, pallas_on, bt, interpret,
+                pallas_variant,
             )
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
             all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
@@ -113,7 +120,8 @@ def build_fused_query_fn(
         q = sse.encode_source(params, model_cfg, tokens, lengths)
         pallas_on, bt = resolve_backend(emb.shape[0], q.shape[0])
         return _shard_topk(
-            q, emb, k, num_real, None, pallas_on, bt, interpret
+            q, emb, k, num_real, None, pallas_on, bt, interpret,
+            pallas_variant,
         )
 
     return fused
@@ -136,6 +144,7 @@ class QueryEngine:
         max_batch: int = 8,
         k: int = 10,
         use_pallas: Optional[bool] = None,
+        pallas_variant: str = "packed",
     ):
         if index.mesh is not None:
             # index rows live across the mesh; params ride along replicated
@@ -155,6 +164,7 @@ class QueryEngine:
             t_pad=index.padded_size,
             emb_dtype=index.emb.dtype,
             use_pallas=use_pallas,
+            pallas_variant=pallas_variant,
         )
 
     # --------------------------------------------------------------- host

@@ -9,26 +9,40 @@ import pytest
 from sse_tpu.ops.fused_topk import fused_score_topk, pick_block_t
 
 
-def _reference(q, emb, k, num_real):
-    s = np.asarray(q) @ np.asarray(emb).T
+def _reference(q, emb, k, num_real, quantized=False):
+    """argsort reference; quantized=True reproduces the packed variant's
+    11-mantissa-bit selection keys (sortable-int transform + low-12-bit
+    truncation, ties → lower index)."""
+    s = (np.asarray(q) @ np.asarray(emb).T).astype(np.float32)
     s[:, num_real:] = -np.inf
-    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    if quantized:
+        bits = s.view(np.int32)
+        key = bits ^ ((bits >> 31) & np.int32(0x7FFFFFFF))
+        key &= ~np.int32(0xFFF)
+        idx = np.lexsort(
+            (np.broadcast_to(np.arange(s.shape[1]), s.shape), -key), axis=1
+        )[:, :k]
+    else:
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
     vals = np.take_along_axis(s, idx, axis=1)
     return vals, idx
 
 
+@pytest.mark.parametrize("variant", ["exact", "packed"])
 @pytest.mark.parametrize("num_real_off", [0, 3])
 @pytest.mark.parametrize("k", [1, 10])
-def test_fused_topk_exact_interpret(k, num_real_off):
+def test_fused_topk_interpret(k, num_real_off, variant):
     b, d, t = 8, 32, 1024
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
     emb = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
     num_real = t - num_real_off
     vals, idx = fused_score_topk(
-        q, emb, k, num_real, block_t=512, interpret=True
+        q, emb, k, num_real, block_t=512, interpret=True, variant=variant
     )
-    evals, eidx = _reference(q, emb, k, num_real)
+    evals, eidx = _reference(
+        q, emb, k, num_real, quantized=(variant == "packed")
+    )
     np.testing.assert_array_equal(np.asarray(idx), eidx)
     np.testing.assert_allclose(np.asarray(vals), evals, rtol=2e-2)
 
@@ -92,7 +106,8 @@ def test_engine_pallas_flag_cpu_interpret():
 
     xla_fn = build_fused_query_fn(model_cfg, k=5, num_real=500, use_pallas=False)
     pl_fn = build_fused_query_fn(
-        model_cfg, k=5, num_real=500, use_pallas=True, interpret=True
+        model_cfg, k=5, num_real=500, use_pallas=True, interpret=True,
+        pallas_variant="exact",  # plumbing test: compare bit-equal to XLA
     )
     xv, xi = xla_fn(params, emb, tokens, lengths)
     pv, pi = pl_fn(params, emb, tokens, lengths)
