@@ -31,7 +31,8 @@ class TaskConfig:
     # encoding_size) — defaults are MXU-friendly multiples of 128
     embed_dim: int = 128
     hidden: int = 128
-    tgt_hidden: int = 128
+    tgt_hidden: int = 0  # 0 → same as `hidden` (overriding one flag must
+    #                      not silently unbalance the two towers)
     num_layers: int = 1
     encoding_dim: int = 128
     cell: str = "gru"  # gru | lstm | transformer
@@ -45,6 +46,10 @@ class TaskConfig:
     loss_kind: str = "full"  # full | inbatch | sampled
     loss_scale: float = 20.0
     num_negatives: int = 128
+    margin: float = 0.0  # additive margin softmax (PAPERS.md 1902.08564)
+    bidirectional: bool = False  # t→s direction averaged in (same paper)
+    num_hard_negatives: int = 0  # dynamic mining (PAPERS.md 2303.15311)
+    hard_negative_refresh: int = 500
     steps_per_checkpoint: int = 200
     max_epochs: int = 20
     seed: int = 0
@@ -73,7 +78,7 @@ class TaskConfig:
             return SSEConfig(mode=mode, src_tower=src, num_targets=num_targets)
         if mode == NetworkMode.SHARED_ENCODER:
             return SSEConfig(mode=mode, src_tower=src)
-        tgt = dataclasses.replace(src, hidden=self.tgt_hidden)
+        tgt = dataclasses.replace(src, hidden=self.tgt_hidden or self.hidden)
         return SSEConfig(mode=mode, src_tower=src, tgt_tower=tgt)
 
     def train_config(self) -> TrainConfig:
@@ -87,10 +92,14 @@ class TaskConfig:
                 kind=self.loss_kind,
                 scale=self.loss_scale,
                 num_negatives=self.num_negatives,
+                margin=self.margin,
+                bidirectional=self.bidirectional,
+                num_hard_negatives=self.num_hard_negatives,
             ),
             steps_per_checkpoint=self.steps_per_checkpoint,
             max_epochs=self.max_epochs,
             seed=self.seed,
+            hard_negative_refresh=self.hard_negative_refresh,
         )
 
     # -------------------------------------------------------------- persist

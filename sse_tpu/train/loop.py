@@ -56,6 +56,9 @@ class TrainConfig:
     steps_per_checkpoint: int = 100
     max_epochs: int = 10
     seed: int = 0
+    # hard-negative mining cache refresh cadence (steps); only used when
+    # loss.num_hard_negatives > 0 (see sse_tpu/train/losses.py)
+    hard_negative_refresh: int = 500
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -98,21 +101,28 @@ def make_train_step(
     loss_cfg = cfg.loss
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    def loss_fn(params, src, src_len, labels, weight, tgt_tokens, tgt_lens, step):
+    def loss_fn(params, src, src_len, labels, weight, tgt_tokens, tgt_lens,
+                step, tgt_emb_cache):
         src_emb = sse.encode_source(params, model_cfg, src, src_len)
         if loss_cfg.kind == "full":
             tgt_all = sse.target_embeddings(params, model_cfg)
             return losses_lib.similarity_loss(
                 loss_cfg, src_emb, labels, weight, tgt_all=tgt_all
             )
-        # inbatch / sampled: candidates = batch positives ∪ K uniform rows
+        # inbatch / sampled: candidates = batch positives ∪ mined hard
+        # negatives ∪ K uniform rows
         cand_rows = labels
+        if loss_cfg.num_hard_negatives > 0 and tgt_emb_cache is not None:
+            hard = losses_lib.mine_hard_negative_rows(
+                src_emb, tgt_emb_cache, labels, loss_cfg.num_hard_negatives
+            )
+            cand_rows = jnp.concatenate([cand_rows, hard])
         if loss_cfg.kind == "sampled":
             key = jax.random.fold_in(base_key, step)
             negs = losses_lib.sample_negative_rows(
                 key, tgt_tokens.shape[0], loss_cfg.num_negatives
             )
-            cand_rows = jnp.concatenate([labels, negs])
+            cand_rows = jnp.concatenate([cand_rows, negs])
         if model_cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
             cand_emb = sse.target_embeddings(
                 params, model_cfg, rows=cand_rows
@@ -133,7 +143,8 @@ def make_train_step(
             cand_rows=cand_rows,
         )
 
-    def step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens):
+    def step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens,
+                tgt_emb_cache=None):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params,
             src,
@@ -143,6 +154,7 @@ def make_train_step(
             tgt_tokens,
             tgt_lens,
             state.step,
+            tgt_emb_cache,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         gnorm = optax.global_norm(updates)
@@ -191,6 +203,20 @@ def train(
     tgt_tokens = jnp.asarray(target_space.tokens)
     tgt_lens = jnp.asarray(target_space.lengths)
 
+    # hard-negative mining: periodically refreshed target-embedding cache
+    mine = cfg.loss.num_hard_negatives > 0 and cfg.loss.kind != "full"
+    encode_cache = None
+    tgt_emb_cache = None
+    if mine:
+        encode_cache = jax.jit(
+            lambda p: sse.target_embeddings(
+                p, model_cfg, tokens=tgt_tokens, lengths=tgt_lens
+            )
+            if model_cfg.mode != NetworkMode.SOURCE_ENCODER_ONLY
+            else sse.target_embeddings(p, model_cfg)
+        )
+        tgt_emb_cache = encode_cache(state.params)
+
     best = -float("inf")
     window_losses = []
     t0 = time.perf_counter()
@@ -209,9 +235,12 @@ def train(
                 jnp.asarray(batch.weight),
                 tgt_tokens,
                 tgt_lens,
+                tgt_emb_cache=tgt_emb_cache,
             )
             window_losses.append(metrics["loss"])
             step = int(state.step)
+            if mine and step % cfg.hard_negative_refresh == 0:
+                tgt_emb_cache = encode_cache(state.params)
             if step % cfg.steps_per_checkpoint == 0:
                 mean_loss = float(jnp.mean(jnp.stack(window_losses)))
                 window_losses = []

@@ -31,6 +31,20 @@ class LossConfig:
     kind: str = "inbatch"  # full | inbatch | sampled
     scale: float = 20.0  # cosine logit scale (temperature⁻¹)
     num_negatives: int = 128  # sampled mode: extra uniform negatives
+    # Additive margin softmax (Yang et al. 2019, arXiv:1902.08564 — see
+    # PAPERS.md): subtract `margin` from the positive's cosine before
+    # scaling, pushing positives `margin` above the decision boundary.
+    margin: float = 0.0
+    # Bidirectional dual-encoder loss (same paper): average the
+    # source→target loss with the target→source direction over the
+    # in-batch square. Tower modes only.
+    bidirectional: bool = False
+    # Dynamic hard-negative mining (arXiv:2303.15311 — see PAPERS.md):
+    # per example, the top-`num_hard_negatives` scoring wrong targets
+    # against a periodically refreshed target-embedding cache join the
+    # candidate set (stop-gradient mining; cache refresh cadence is the
+    # train loop's hard_negative_refresh).
+    num_hard_negatives: int = 0
 
 
 def _weighted_ce(
@@ -67,23 +81,34 @@ def candidate_softmax_loss(
     labels: jax.Array,  # [B] global target rows of the positives
     weight: jax.Array,  # [B]
     scale: float,
+    margin: float = 0.0,
+    bidirectional: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """In-batch / sampled softmax. Candidate column i (< B) is example i's
     positive; any other column holding the same global target row is a
-    false negative and gets masked."""
+    false negative and gets masked. Optional additive margin on the
+    positive and bidirectional (t→s over the in-batch square) averaging."""
     B = src_emb.shape[0]
-    logits = scale * jnp.dot(
-        src_emb, cand_emb.T, preferred_element_type=jnp.float32
-    )  # [B, C]
+    cos = jnp.dot(src_emb, cand_emb.T, preferred_element_type=jnp.float32)
     same_target = labels[:, None] == cand_rows[None, :]  # [B, C]
     own_col = (
-        jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        == jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
+        == jax.lax.broadcasted_iota(jnp.int32, cos.shape, 0)
     )
+    if margin:
+        cos = cos - margin * own_col.astype(cos.dtype)
+    logits = scale * cos
     false_neg = same_target & ~own_col
     logits = jnp.where(false_neg, jnp.finfo(logits.dtype).min, logits)
     label_col = jnp.arange(B, dtype=jnp.int32)
-    return _weighted_ce(logits, label_col, weight)
+    loss, acc = _weighted_ce(logits, label_col, weight)
+    if bidirectional:
+        # target→source over the in-batch square: candidate i's positive
+        # source is row i. Same margin/masking, transposed.
+        sq = logits[:, :B].T  # [B(cand), B(src)] — masks/margin carry over
+        loss_ts, _ = _weighted_ce(sq, label_col, weight)
+        loss = 0.5 * (loss + loss_ts)
+    return loss, acc
 
 
 def sample_negative_rows(
@@ -92,6 +117,25 @@ def sample_negative_rows(
     """Uniform negative rows (collisions with positives are masked in the
     loss, so uniform-with-replacement is exact enough and O(1))."""
     return jax.random.randint(key, (num_negatives,), 0, num_targets)
+
+
+def mine_hard_negative_rows(
+    src_emb: jax.Array,  # [B, D] (will be stop-gradiented)
+    tgt_emb_cache: jax.Array,  # [T, D] periodically refreshed target embs
+    labels: jax.Array,  # [B]
+    num_hard: int,
+) -> jax.Array:
+    """Top-scoring WRONG targets per example against the cached index
+    (dynamic negative mining, arXiv:2303.15311). Returns [B*num_hard]."""
+    sims = jnp.dot(
+        jax.lax.stop_gradient(src_emb),
+        tgt_emb_cache.T,
+        preferred_element_type=jnp.float32,
+    )  # [B, T]
+    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    sims = jnp.where(cols == labels[:, None], -jnp.inf, sims)
+    _, hard = jax.lax.top_k(sims, num_hard)  # [B, num_hard]
+    return hard.reshape(-1)
 
 
 def similarity_loss(
@@ -110,5 +154,12 @@ def similarity_loss(
         return full_softmax_loss(src_emb, tgt_all, labels, weight, cfg.scale)
     assert cand_emb is not None and cand_rows is not None
     return candidate_softmax_loss(
-        src_emb, cand_emb, cand_rows, labels, weight, cfg.scale
+        src_emb,
+        cand_emb,
+        cand_rows,
+        labels,
+        weight,
+        cfg.scale,
+        margin=cfg.margin,
+        bidirectional=cfg.bidirectional,
     )

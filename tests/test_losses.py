@@ -88,3 +88,67 @@ def test_similarity_loss_dispatch():
         LossConfig(kind="inbatch"), e, labels, w, cand_emb=e, cand_rows=labels
     )
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_additive_margin_increases_loss_on_positives():
+    """Margin penalizes the positive logit → loss strictly higher for a
+    perfectly-aligned batch, gradient keeps pushing past alignment."""
+    d = 8
+    e = jnp.asarray(np.eye(d, dtype=np.float32)[:4])
+    labels = jnp.arange(4, dtype=jnp.int32)
+    w = jnp.ones((4,), jnp.float32)
+    plain, _ = candidate_softmax_loss(e, e, labels, labels, w, 10.0)
+    with_margin, _ = candidate_softmax_loss(
+        e, e, labels, labels, w, 10.0, margin=0.3
+    )
+    assert float(with_margin) > float(plain)
+
+
+def test_bidirectional_symmetric_case_matches():
+    """For a symmetric in-batch square (src == cand), s→t and t→s losses
+    coincide, so bidirectional averaging changes nothing."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(5, 8)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    labels = jnp.arange(5, dtype=jnp.int32)
+    w = jnp.ones((5,), jnp.float32)
+    uni, _ = candidate_softmax_loss(
+        jnp.asarray(x), jnp.asarray(x), labels, labels, w, 20.0
+    )
+    bi, _ = candidate_softmax_loss(
+        jnp.asarray(x), jnp.asarray(x), labels, labels, w, 20.0,
+        bidirectional=True,
+    )
+    np.testing.assert_allclose(float(uni), float(bi), rtol=1e-5)
+
+
+def test_bidirectional_differs_on_asymmetric_square():
+    rng = np.random.default_rng(4)
+    src = rng.normal(size=(5, 8)).astype(np.float32)
+    cand = rng.normal(size=(7, 8)).astype(np.float32)  # 5 positives + 2 negs
+    labels = jnp.arange(5, dtype=jnp.int32)
+    w = jnp.asarray(np.array([1, 1, 1, 1, 0], np.float32))
+    uni, _ = candidate_softmax_loss(
+        jnp.asarray(src), jnp.asarray(cand),
+        jnp.arange(7, dtype=jnp.int32), labels, w, 20.0,
+    )
+    bi, _ = candidate_softmax_loss(
+        jnp.asarray(src), jnp.asarray(cand),
+        jnp.arange(7, dtype=jnp.int32), labels, w, 20.0, bidirectional=True,
+    )
+    assert abs(float(uni) - float(bi)) > 1e-4
+
+
+def test_mine_hard_negatives_excludes_label_and_finds_closest():
+    from sse_tpu.train.losses import mine_hard_negative_rows
+
+    d = 4
+    cache = np.zeros((6, d), np.float32)
+    cache[0] = [1, 0, 0, 0]      # the label — must be excluded
+    cache[1] = [0.9, 0.1, 0, 0]  # hardest wrong target
+    cache[2] = [0.5, 0.5, 0, 0]
+    cache[3] = [-1, 0, 0, 0]
+    src = jnp.asarray(np.array([[1, 0, 0, 0]], np.float32))
+    labels = jnp.asarray(np.array([0], np.int32))
+    rows = mine_hard_negative_rows(src, jnp.asarray(cache), labels, 2)
+    assert list(np.asarray(rows)) == [1, 2]
