@@ -146,6 +146,72 @@ def run_query_bench(
     }
 
 
+def run_train_bench(
+    batch: int = 256,
+    num_targets: int = 10_000,
+    max_seq_length: int = 50,
+    num_negatives: int = 128,
+    encoding_dim: int = 128,
+) -> Dict[str, Any]:
+    """Training throughput: donated jitted train step (dual-encoder GRU,
+    sampled-softmax negatives) steps/sec and examples/sec."""
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
+    from sse_tpu.train import LossConfig, TrainConfig, init_train_state, make_train_step
+
+    tower = TowerConfig(
+        vocab_size=8000, embed_dim=128, hidden=128, num_layers=1,
+        encoding_dim=encoding_dim, cell="gru",
+    )
+    model_cfg = SSEConfig(
+        mode=NetworkMode.DUAL_ENCODER, src_tower=tower, tgt_tower=tower
+    )
+    cfg = TrainConfig(
+        batch_size=batch,
+        loss=LossConfig(kind="sampled", num_negatives=num_negatives),
+    )
+    state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    step_fn = make_train_step(model_cfg, cfg, donate=False)
+
+    tgt_tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (num_targets, max_seq_length), 2, 8000,
+        dtype=jnp.int32,
+    )
+    tgt_lens = jnp.full((num_targets,), max_seq_length, jnp.int32)
+    lengths = jnp.full((batch,), max_seq_length, jnp.int32)
+    weight = jnp.ones((batch,), jnp.float32)
+    variants = [
+        (
+            jax.random.randint(
+                jax.random.PRNGKey(300 + i), (batch, max_seq_length), 2,
+                8000, dtype=jnp.int32,
+            ),
+            jax.random.randint(
+                jax.random.PRNGKey(400 + i), (batch,), 0, num_targets,
+                dtype=jnp.int32,
+            ),
+        )
+        for i in range(16)
+    ]
+    jax.block_until_ready(variants)
+
+    def call(v):
+        src, labels = v
+        _, metrics = step_fn(
+            state, src, lengths, labels, weight, tgt_tokens, tgt_lens
+        )
+        return metrics["loss"]
+
+    per_iter = _throughput_time(call, variants)
+    return {
+        "metric": "train_steps_per_sec",
+        "value": round(1.0 / per_iter, 2),
+        "examples_per_sec": round(batch / per_iter, 1),
+        "unit": f"steps/sec (dual-encoder GRU, batch={batch}, "
+        f"L={max_seq_length}, {num_negatives} sampled negatives)",
+        "ms_per_step": round(per_iter * 1000, 3),
+    }
+
+
 def run_index_bench(
     num_targets: int = 50_000,
     encoding_dim: int = 128,

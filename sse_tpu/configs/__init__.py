@@ -27,6 +27,7 @@ class TaskConfig:
     # text/data
     vocab_size: int = 8000
     max_seq_length: int = 50
+    max_subtoken_length: int = 20  # bounds vocab-builder cost on big corpora
     # towers (reference: embedding_size, src/tgt_cell_size, num_layers,
     # encoding_size) — defaults are MXU-friendly multiples of 128
     embed_dim: int = 128

@@ -93,6 +93,7 @@ def build_vocab(
     pair_rows: Sequence[Tuple[str, List[str]]],
     target_rows: Sequence[Tuple[str, str]],
     cache_path: Optional[str] = None,
+    max_subtoken_length: Optional[int] = 20,
 ) -> SubwordVocab:
     """Build (or load cached) subword vocab over sources + target texts.
 
@@ -102,8 +103,12 @@ def build_vocab(
     if cache_path and os.path.exists(cache_path):
         return SubwordVocab.load(cache_path)
     lines = [src for src, _ in pair_rows] + [txt for _, txt in target_rows]
+    # max_subtoken_length bounds the builder's O(len²) candidate loop —
+    # essential for web-scale corpora; 20 chars covers natural subwords.
     vocab = SubwordVocab.build_to_target_size(
-        vocab_size, token_counts_from_lines(lines)
+        vocab_size,
+        token_counts_from_lines(lines),
+        max_subtoken_length=max_subtoken_length,
     )
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

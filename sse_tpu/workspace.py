@@ -90,7 +90,11 @@ class Workspace:
         target_rows = read_targets_tsv(target_path)
         train_rows = read_pairs_tsv(train_path) if os.path.exists(train_path) else []
         vocab = build_vocab(
-            cfg.vocab_size, train_rows, target_rows, self.vocab_path
+            cfg.vocab_size,
+            train_rows,
+            target_rows,
+            self.vocab_path,
+            max_subtoken_length=cfg.max_subtoken_length,
         )
         tspace = encode_target_space(
             vocab,
