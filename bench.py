@@ -24,11 +24,16 @@ def main() -> int:
     # Per-chip share of the north star's 10M-item / 8-chip index,
     # 4096-aligned so the Pallas streaming top-k kernel auto-engages.
     num_targets = 4096 * 305 if platform != "cpu" else 4096 * 5
+    import jax.numpy as jnp
+
+    # serving-mode flagship config: bfloat16 index + packed-key Pallas
+    # selector (see BASELINE.md for the exact/fp32 variants)
     result = run_query_bench(
         num_targets=num_targets,
         encoding_dim=128,
         batch=256,
         k=10,
+        index_dtype=jnp.bfloat16,
     )
     out = {
         "metric": result["metric"],

@@ -88,7 +88,10 @@ def _packed_extract(keys, k):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(lows, axis=1)
 
 
-def _packed_kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
+def _packed_kernel(
+    nr_ref, q_ref, emb_ref, vals_ref, idx_ref,
+    rv, ri, keys_scr, bv_scr, bi_scr, done_scr, *, k, block_t,
+):
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
 
@@ -109,13 +112,41 @@ def _packed_kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, bloc
     key = _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
     # padding rows sink to INT_MIN while keeping every key unique
     key = jnp.where(row0 + col < num_real, key, _INT_MIN)
-    key = key | (_IDX_MASK - col)
+    keys_scr[:] = key | (_IDX_MASK - col)
+    done_scr[0] = 0
+    # candidate slots must start inert: passes skipped by the early exit
+    # would otherwise leak the PREVIOUS block's candidates into the merge
+    bv_scr[:] = jnp.full_like(bv_scr, _INT_MIN)
+    bi_scr[:] = jnp.zeros_like(bi_scr)
 
-    bv, bcol = _packed_extract(key, k)  # [B,k] keys, block-local cols
-    bi = row0 + bcol
+    # Early-exit extraction: once this block's remaining max is ≤ every
+    # row's running k-th value, no remaining element can enter any top-k
+    # (max bounds them all) — skip the rest of the passes. Late blocks
+    # typically pay 1 max-reduce instead of k full passes.
+    thr = rv[:, k - 1 : k]  # running k-th (before this block: conservative)
+    for j in range(k):
+
+        @pl.when(done_scr[0] == 0)
+        def _(j=j):
+            keys = keys_scr[:]
+            m = jnp.max(keys, axis=1, keepdims=True)  # [B, 1]
+            useless = m <= thr  # per-row: can't displace the running kth
+            bv_scr[:, j : j + 1] = jnp.where(
+                useless, _INT_MIN, m & ~jnp.int32(_IDX_MASK)
+            )
+            bi_scr[:, j : j + 1] = row0 + (_IDX_MASK - (m & _IDX_MASK))
+
+            @pl.when(jnp.all(useless))
+            def _():
+                done_scr[0] = 1
+
+            @pl.when(jnp.logical_not(jnp.all(useless)))
+            def _():
+                keys_scr[:] = jnp.where(keys == m, _INT_MIN, keys)
+
     # merge into running top-k: slot bits keep the 2k candidates unique
-    cat_v = jnp.concatenate([rv[:], bv], axis=1)  # [B, 2k]
-    cat_i = jnp.concatenate([ri[:], bi], axis=1)
+    cat_v = jnp.concatenate([rv[:], bv_scr[:]], axis=1)  # [B, 2k]
+    cat_i = jnp.concatenate([ri[:], bi_scr[:]], axis=1)
     slot = jax.lax.broadcasted_iota(jnp.int32, cat_v.shape, 1)
     mkey = cat_v | (_IDX_MASK - slot)
     mv, mslot = _packed_extract(mkey, k)
@@ -180,16 +211,23 @@ def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
         idx_ref[:] = ri[:]
 
 
-def pick_block_t(t_pad: int, batch: int, d: int, itemsize: int) -> Optional[int]:
-    """Largest block_t dividing t_pad that fits the VMEM budget
-    (scores [B, BT] f32 + 2 pipelined emb blocks [BT, D]); None if no
-    worthwhile block size exists (tiny index → XLA path is fine)."""
-    budget = 10 * 1024 * 1024
-    # 4096 cap keeps the packed variant's 12 index bits sufficient
+def pick_block_t(
+    t_pad: int, batch: int, d: int, itemsize: int, packed: bool = True
+) -> Optional[int]:
+    """Largest block_t dividing t_pad that fits the VMEM budget; None if
+    no worthwhile block size exists (tiny index → XLA path is fine).
+
+    Footprint: fp32 scores intermediate [B, BT] (+ the packed variant's
+    mutable key scratch, same size) + 2 pipelined emb blocks [BT, D].
+    The 10 MB model budget leaves ~5-6 MB for compiler workspace under the
+    16 MB scoped-vmem limit (validated on v5e). 4096 cap keeps the packed
+    variant's 12 index bits sufficient."""
+    budget = 11 * 1024 * 1024
+    score_bufs = 2 if packed else 1
     for bt in (4096, 2048, 1024, 512):
         if t_pad % bt:
             continue
-        if batch * bt * 4 + 2 * bt * d * itemsize <= budget:
+        if score_bufs * batch * bt * 4 + 2 * bt * d * itemsize <= budget:
             return bt
     return None
 
@@ -239,12 +277,21 @@ def fused_score_topk(
             pl.BlockSpec((b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM(
-                (b, k), jnp.int32 if variant == "packed" else jnp.float32
-            ),
-            pltpu.VMEM((b, k), jnp.int32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((b, k), jnp.int32),  # rv: running packed keys
+                pltpu.VMEM((b, k), jnp.int32),  # ri: running global rows
+                pltpu.VMEM((b, block_t), jnp.int32),  # mutable block keys
+                pltpu.VMEM((b, k), jnp.int32),  # bv: block candidates
+                pltpu.VMEM((b, k), jnp.int32),  # bi: block candidate rows
+                pltpu.SMEM((1,), jnp.int32),  # early-exit flag
+            ]
+            if variant == "packed"
+            else [
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.int32),
+            ]
+        ),
     )
     return pl.pallas_call(
         kernel,

@@ -79,7 +79,8 @@ def build_fused_query_fn(
 
     def resolve_backend(t_pad_local, b):
         bt = pick_block_t(t_pad_local, b, model_cfg.encoding_dim,
-                          jnp.dtype(emb_dtype).itemsize)
+                          jnp.dtype(emb_dtype).itemsize,
+                          packed=(pallas_variant == "packed"))
         if use_pallas is None:
             on_tpu = jax.devices()[0].platform not in ("cpu",)
             return (on_tpu and bt is not None and k <= 128), bt

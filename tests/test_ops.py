@@ -78,8 +78,13 @@ def test_fused_topk_num_real_traced_interpret():
 
 
 def test_pick_block_t():
-    assert pick_block_t(4096 * 305, 256, 128, 4) == 4096
-    assert pick_block_t(4096 * 305, 64, 128, 4) in (4096, 8192)
+    # packed fp32 at B=256 exceeds the VMEM model at 4096 → 2048
+    assert pick_block_t(4096 * 305, 256, 128, 4) == 2048
+    # bf16 index halves the emb-block cost → 4096 fits
+    assert pick_block_t(4096 * 305, 256, 128, 2) == 4096
+    # exact variant has no key scratch → fp32 4096 fits
+    assert pick_block_t(4096 * 305, 256, 128, 4, packed=False) == 4096
+    assert pick_block_t(4096 * 305, 64, 128, 4) == 4096
     assert pick_block_t(1000, 8, 128, 4) is None  # no pow2 divisor
     assert pick_block_t(512, 8, 128, 4) == 512
 
