@@ -100,7 +100,22 @@ def cmd_eval(args) -> int:
     from sse_tpu.workspace import Workspace
 
     ws = Workspace.open(args.model_dir)
-    result = ws.evaluate(args.data_dir)
+    if args.use_index:
+        # score through the serving path (built sharded index + fused
+        # kernel) — the right mode at large target-space scale
+        from sse_tpu.evals import evaluate_against_index
+        from sse_tpu.index import ShardedIndex
+
+        vocab, tspace, _, eval_pairs = ws.prepare_data(args.data_dir)
+        model_cfg = ws.model_config(vocab, tspace)
+        state, mgr = ws.restore_state(model_cfg)
+        mgr.close()
+        index = ShardedIndex.load(ws.index_dir, ws.mesh())
+        result = evaluate_against_index(
+            state.params, model_cfg, eval_pairs, index
+        )
+    else:
+        result = ws.evaluate(args.data_dir)
     print("[sse] " + json.dumps(result))
     return 0
 
@@ -222,6 +237,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("eval", help="top-N recall eval (reference: sse_evaluator)")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--data_dir", required=True)
+    p.add_argument(
+        "--use_index", action="store_true",
+        help="score via the built sharded index + serving kernel",
+    )
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser(

@@ -8,5 +8,6 @@ comparison against multi-label sets happens on host.
 """
 
 from sse_tpu.evals.recall import Evaluator, recall_at_k
+from sse_tpu.evals.at_scale import evaluate_against_index
 
-__all__ = ["Evaluator", "recall_at_k"]
+__all__ = ["Evaluator", "recall_at_k", "evaluate_against_index"]

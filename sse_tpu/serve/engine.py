@@ -169,15 +169,28 @@ class QueryEngine:
         )
 
     # --------------------------------------------------------------- host
+    #
+    # Length bucketing: queries are padded to the smallest bucket ≥ the
+    # batch's longest query instead of always max_seq_length, so short
+    # queries (the common case) skip most of the recurrent encode steps.
+    # jit compiles one program per bucket shape — bounded by len(buckets).
+    _BUCKETS = (8, 16, 32)
+
     def encode_queries(self, texts: Sequence[str]):
-        """Tokenize + pad a query batch to static shape (host side; C++
-        native encoder when available — sse_tpu.native)."""
+        """Tokenize + pad a query batch to a bucketed static shape (host
+        side; C++ native encoder when available — sse_tpu.native)."""
         from sse_tpu.data.corpus import batch_encode
 
         b = self.max_batch
         padded = list(texts[:b]) + [""] * (b - min(len(texts), b))
         tokens, lengths = batch_encode(self.vocab, padded, self.max_seq_length)
-        return jnp.asarray(tokens), jnp.asarray(lengths)
+        longest = int(lengths.max()) if len(texts) else 1
+        width = self.max_seq_length
+        for bucket in self._BUCKETS:
+            if bucket >= longest and bucket < width:
+                width = bucket
+                break
+        return jnp.asarray(tokens[:, :width]), jnp.asarray(lengths)
 
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
         """Batch of query strings → per-query top-k

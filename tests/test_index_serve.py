@@ -173,3 +173,45 @@ def test_bfloat16_index(setup, tmp_path):
     tsv = str(tmp_path / "bf16.tsv")
     idx16.export_tsv(tsv)
     assert ShardedIndex.import_tsv(tsv).num_real == idx16.num_real
+
+
+def test_evaluate_against_index_matches_evaluator(setup):
+    """Index-scale eval (fused/sharded path) == classic Evaluator."""
+    from sse_tpu.data.corpus import encode_pairs
+    from sse_tpu.data import synthetic
+    from sse_tpu.evals import Evaluator, evaluate_against_index
+
+    vocab, tspace, model_cfg, params, tg = setup
+    _, ev_raw, _ = synthetic.make_corpus(
+        task="ranking", num_targets=24, train_per_target=4, seed=9
+    )
+    ev = encode_pairs(vocab, ev_raw, tspace, L)
+
+    classic = Evaluator(model_cfg, ev, tspace, batch_size=32, ks=(1, 10)).evaluate(params)
+
+    mesh = make_mesh(data=1, model=8)
+    idx = build_index(params, model_cfg, tspace, mesh=mesh, batch_size=16)
+    at_scale = evaluate_against_index(
+        params, model_cfg, ev, idx, ks=(1, 10), batch_size=32
+    )
+    assert at_scale == classic
+
+
+def test_length_bucketing_same_results(setup):
+    """Bucketed (short) query encode returns identical hits to full-width."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=48, k=3)
+    short = ["gudi foso", "zana"]
+    toks, lens = eng.encode_queries(short)
+    assert toks.shape[1] <= 16  # bucketed well below max_seq_length=48
+    res = eng.query(short)
+    # same hits when bucketing is bypassed (full-width tokens)
+    from sse_tpu.data.corpus import batch_encode
+
+    full_t, full_l = batch_encode(vocab, short + [""] * 6, 48)
+    v2, r2 = eng._fused(
+        eng.params, eng.index.emb, jnp.asarray(full_t), jnp.asarray(full_l)
+    )
+    for i in range(2):
+        assert res[i][0]["row"] == int(np.asarray(r2)[i, 0])
