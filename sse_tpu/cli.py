@@ -187,16 +187,23 @@ def cmd_bench(args) -> int:
 
 def _apply_platform_env() -> None:
     """SSE_PLATFORM=cpu[:N] — force backend before first jax use (this
-    environment's TPU plugin ignores JAX_PLATFORMS, but honors jax.config)."""
+    environment's TPU plugin ignores JAX_PLATFORMS, but honors jax.config).
+    SSE_COMPILATION_CACHE=<dir> — persistent XLA compilation cache, so
+    serve/eval cold-starts skip the 20-40s first-compile on restarts."""
+    cache = os.environ.get("SSE_COMPILATION_CACHE")
     spec = os.environ.get("SSE_PLATFORM")
-    if not spec:
+    if not (cache or spec):
         return
     import jax
 
-    platform, _, n = spec.partition(":")
-    jax.config.update("jax_platforms", platform)
-    if n:
-        jax.config.update("jax_num_cpu_devices", int(n))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if spec:
+        platform, _, n = spec.partition(":")
+        jax.config.update("jax_platforms", platform)
+        if n:
+            jax.config.update("jax_num_cpu_devices", int(n))
 
 
 def main(argv=None) -> int:
