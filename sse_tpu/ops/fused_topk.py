@@ -113,36 +113,52 @@ def _packed_kernel(
     # padding rows sink to INT_MIN while keeping every key unique
     key = jnp.where(row0 + col < num_real, key, _INT_MIN)
     keys_scr[:] = key | (_IDX_MASK - col)
-    done_scr[0] = 0
     # candidate slots must start inert: passes skipped by the early exit
     # would otherwise leak the PREVIOUS block's candidates into the merge
     bv_scr[:] = jnp.full_like(bv_scr, _INT_MIN)
     bi_scr[:] = jnp.zeros_like(bi_scr)
 
-    # Early-exit extraction: once this block's remaining max is ≤ every
-    # row's running k-th value, no remaining element can enter any top-k
-    # (max bounds them all) — skip the rest of the passes. Late blocks
-    # typically pay 1 max-reduce instead of k full passes.
-    thr = rv[:, k - 1 : k]  # running k-th (before this block: conservative)
-    for j in range(k):
+    # Early-exit extraction, predicated per ROW GROUP: once a group's
+    # remaining block max is ≤ each of its rows' running k-th value, no
+    # remaining element can enter any of its top-ks (the max bounds them
+    # all) — the group's later passes are skipped. Finer groups exit far
+    # sooner than the whole batch would (one straggler row no longer keeps
+    # all 256 rows extracting); late blocks typically pay 1 max-reduce per
+    # group instead of k full passes.
+    b_rows = keys_scr.shape[0]
+    # Fine-grained groups only pay off when blocks far outnumber the
+    # expected per-row extractions (long tails of skippable passes);
+    # measured crossover ≈ 512 blocks on v5e.
+    group = (
+        32
+        if nblocks >= 512 and b_rows % 32 == 0 and b_rows > 32
+        else b_rows
+    )
+    ngroups = b_rows // group
+    for g in range(ngroups):
+        done_scr[g] = 0
+    for g in range(ngroups):
+        lo, hi = g * group, (g + 1) * group
+        thr = rv[lo:hi, k - 1 : k]  # running k-th (pre-block: conservative)
+        for j in range(k):
 
-        @pl.when(done_scr[0] == 0)
-        def _(j=j):
-            keys = keys_scr[:]
-            m = jnp.max(keys, axis=1, keepdims=True)  # [B, 1]
-            useless = m <= thr  # per-row: can't displace the running kth
-            bv_scr[:, j : j + 1] = jnp.where(
-                useless, _INT_MIN, m & ~jnp.int32(_IDX_MASK)
-            )
-            bi_scr[:, j : j + 1] = row0 + (_IDX_MASK - (m & _IDX_MASK))
+            @pl.when(done_scr[g] == 0)
+            def _(j=j, g=g, lo=lo, hi=hi, thr=thr):
+                keys = keys_scr[lo:hi]
+                m = jnp.max(keys, axis=1, keepdims=True)  # [group, 1]
+                useless = m <= thr
+                bv_scr[lo:hi, j : j + 1] = jnp.where(
+                    useless, _INT_MIN, m & ~jnp.int32(_IDX_MASK)
+                )
+                bi_scr[lo:hi, j : j + 1] = row0 + (_IDX_MASK - (m & _IDX_MASK))
 
-            @pl.when(jnp.all(useless))
-            def _():
-                done_scr[0] = 1
+                @pl.when(jnp.all(useless))
+                def _():
+                    done_scr[g] = 1
 
-            @pl.when(jnp.logical_not(jnp.all(useless)))
-            def _():
-                keys_scr[:] = jnp.where(keys == m, _INT_MIN, keys)
+                @pl.when(jnp.logical_not(jnp.all(useless)))
+                def _():
+                    keys_scr[lo:hi] = jnp.where(keys == m, _INT_MIN, keys)
 
     # merge into running top-k: slot bits keep the 2k candidates unique
     cat_v = jnp.concatenate([rv[:], bv_scr[:]], axis=1)  # [B, 2k]
@@ -284,7 +300,7 @@ def fused_score_topk(
                 pltpu.VMEM((b, block_t), jnp.int32),  # mutable block keys
                 pltpu.VMEM((b, k), jnp.int32),  # bv: block candidates
                 pltpu.VMEM((b, k), jnp.int32),  # bi: block candidate rows
-                pltpu.SMEM((1,), jnp.int32),  # early-exit flag
+                pltpu.SMEM((max(b // 32, 1),), jnp.int32),  # per-group exit flags
             ]
             if variant == "packed"
             else [
