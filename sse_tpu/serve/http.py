@@ -36,6 +36,9 @@ def make_handler(engine: QueryEngine):
 
         def do_GET(self):  # noqa: N802 (stdlib API name)
             url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._send(200, b'{"status": "ok"}', "application/json")
+                return
             if url.path == "/":
                 self._send(200, _DEMO_PAGE.encode(), "text/html; charset=utf-8")
                 return
@@ -54,8 +57,16 @@ def make_handler(engine: QueryEngine):
                 except ValueError:
                     n = engine.k
                 n = max(1, min(n, engine.k))
-                with lock:
-                    hits = engine.query([keywords])[0][:n]
+                try:
+                    with lock:
+                        hits = engine.query([keywords])[0][:n]
+                except Exception as e:  # engine/device failure → JSON 500
+                    self._send(
+                        500,
+                        json.dumps({"error": f"query failed: {e}"}).encode(),
+                        "application/json",
+                    )
+                    return
                 body = json.dumps(
                     {"query": keywords, "results": hits}, ensure_ascii=False
                 ).encode()

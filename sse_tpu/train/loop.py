@@ -208,13 +208,19 @@ def train(
     encode_cache = None
     tgt_emb_cache = None
     if mine:
-        encode_cache = jax.jit(
-            lambda p: sse.target_embeddings(
-                p, model_cfg, tokens=tgt_tokens, lengths=tgt_lens
+        # tokens/lengths must be jit ARGUMENTS: a closed-over device array
+        # becomes an HLO constant (GB-scale for big target spaces).
+        if model_cfg.mode != NetworkMode.SOURCE_ENCODER_ONLY:
+            encode_all = jax.jit(
+                lambda p, t, l: sse.target_embeddings(
+                    p, model_cfg, tokens=t, lengths=l
+                )
             )
-            if model_cfg.mode != NetworkMode.SOURCE_ENCODER_ONLY
-            else sse.target_embeddings(p, model_cfg)
-        )
+            encode_cache = lambda p: encode_all(p, tgt_tokens, tgt_lens)
+        else:
+            encode_cache = jax.jit(
+                lambda p: sse.target_embeddings(p, model_cfg)
+            )
         tgt_emb_cache = encode_cache(state.params)
 
     best = -float("inf")

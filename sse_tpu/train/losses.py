@@ -67,11 +67,13 @@ def full_softmax_loss(
     labels: jax.Array,  # [B] rows into tgt_all
     weight: jax.Array,  # [B]
     scale: float,
+    margin: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    logits = scale * jnp.dot(
-        src_emb, tgt_all.T, preferred_element_type=jnp.float32
-    )
-    return _weighted_ce(logits, labels, weight)
+    cos = jnp.dot(src_emb, tgt_all.T, preferred_element_type=jnp.float32)
+    if margin:
+        cols = jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
+        cos = cos - margin * (cols == labels[:, None]).astype(cos.dtype)
+    return _weighted_ce(scale * cos, labels, weight)
 
 
 def candidate_softmax_loss(
@@ -151,7 +153,9 @@ def similarity_loss(
     """Dispatch on cfg.kind → (loss, train_accuracy)."""
     if cfg.kind == "full":
         assert tgt_all is not None
-        return full_softmax_loss(src_emb, tgt_all, labels, weight, cfg.scale)
+        return full_softmax_loss(
+            src_emb, tgt_all, labels, weight, cfg.scale, margin=cfg.margin
+        )
     assert cand_emb is not None and cand_rows is not None
     return candidate_softmax_loss(
         src_emb,
