@@ -7,6 +7,7 @@ top-k merge); the host only tokenizes and maps result rows to id/text.
 """
 
 from sse_tpu.serve.engine import QueryEngine
+from sse_tpu.serve.batcher import MicroBatcher
 from sse_tpu.serve.http import serve_http
 
-__all__ = ["QueryEngine", "serve_http"]
+__all__ = ["QueryEngine", "MicroBatcher", "serve_http"]

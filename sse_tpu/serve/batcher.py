@@ -1,0 +1,84 @@
+"""Micro-batching front for QueryEngine.
+
+The reference served one query per request (CPU numpy each time). Here
+concurrent HTTP threads enqueue queries; a single dispatch loop drains
+whatever is queued (up to the engine's max_batch) into ONE fused device
+call. No artificial wait: an idle server dispatches immediately, and
+batching emerges exactly when the device is the bottleneck — queries
+arriving during an in-flight batch ride the next one.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, List, Optional, Sequence
+
+from sse_tpu.serve.engine import QueryEngine
+
+
+class MicroBatcher:
+    def __init__(self, engine: QueryEngine):
+        self.engine = engine
+        self._q: "queue.Queue" = queue.Queue()
+        self._stats = {"batches": 0, "queries": 0, "max_batch_seen": 0}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ----------------------------------------------------------- client api
+    def query_one(self, text: str, timeout: Optional[float] = None) -> List[Dict[str, Any]]:
+        """Blocking single-query API for request handlers; thread-safe."""
+        done = threading.Event()
+        slot: List[Any] = [None, None]  # result, exception
+        self._q.put((text, slot, done))
+        if not done.wait(timeout):
+            raise TimeoutError("query timed out")
+        if slot[1] is not None:
+            raise slot[1]
+        return slot[0]
+
+    def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
+        return [self.query_one(t) for t in texts]
+
+    @property
+    def stats(self) -> Dict[str, int]:
+        return dict(self._stats)
+
+    def close(self) -> None:
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # -------------------------------------------------------------- worker
+    def _loop(self) -> None:
+        while not self._stop:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            # drain whatever is ALREADY queued, up to the device batch size
+            while len(batch) < self.engine.max_batch:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._stop = True
+                    break
+                batch.append(item)
+            texts = [t for t, _, _ in batch]
+            try:
+                results = self.engine.query(texts)
+                for (_, slot, done), res in zip(batch, results):
+                    slot[0] = res
+                    done.set()
+            except Exception as e:  # propagate to every waiter
+                for _, slot, done in batch:
+                    slot[1] = e
+                    done.set()
+            self._stats["batches"] += 1
+            self._stats["queries"] += len(batch)
+            self._stats["max_batch_seen"] = max(
+                self._stats["max_batch_seen"], len(batch)
+            )

@@ -22,9 +22,14 @@ _DEMO_PAGE = """<!doctype html>
 </body></html>"""
 
 
-def make_handler(engine: QueryEngine):
-    # engine.query is jit-backed; serialize device access across threads.
-    lock = threading.Lock()
+def make_handler(engine):
+    """`engine` is a QueryEngine or a MicroBatcher wrapping one."""
+    from sse_tpu.serve.batcher import MicroBatcher
+
+    batcher = engine if isinstance(engine, MicroBatcher) else None
+    if batcher is not None:
+        engine = batcher.engine
+    lock = threading.Lock()  # non-batched fallback: serialize device access
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -58,8 +63,11 @@ def make_handler(engine: QueryEngine):
                     n = engine.k
                 n = max(1, min(n, engine.k))
                 try:
-                    with lock:
-                        hits = engine.query([keywords])[0][:n]
+                    if batcher is not None:
+                        hits = batcher.query_one(keywords, timeout=120)[:n]
+                    else:
+                        with lock:
+                            hits = engine.query([keywords])[0][:n]
                 except Exception as e:  # engine/device failure → JSON 500
                     self._send(
                         500,
@@ -81,11 +89,18 @@ def make_handler(engine: QueryEngine):
 
 
 def serve_http(
-    engine: QueryEngine,
+    engine,
     host: str = "127.0.0.1",
     port: int = 8080,
     block: bool = True,
+    micro_batch: bool = True,
 ) -> Optional[ThreadingHTTPServer]:
+    """`micro_batch=True` coalesces concurrent requests into device
+    batches (sse_tpu.serve.batcher) — the production default."""
+    from sse_tpu.serve.batcher import MicroBatcher
+
+    if micro_batch and isinstance(engine, QueryEngine):
+        engine = MicroBatcher(engine)
     server = ThreadingHTTPServer((host, port), make_handler(engine))
     if block:
         try:

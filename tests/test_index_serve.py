@@ -215,3 +215,40 @@ def test_length_bucketing_same_results(setup):
     )
     for i in range(2):
         assert res[i][0]["row"] == int(np.asarray(r2)[i, 0])
+
+
+def test_micro_batcher_concurrent(setup):
+    """Concurrent queries through the batcher: correct per-query results,
+    and coalescing actually happens under load."""
+    import threading
+
+    from sse_tpu.serve import MicroBatcher
+
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L,
+                      max_batch=8, k=3)
+    expected = {t: eng.query([t])[0][0]["targetId"]
+                for t in ["gudi foso qefo", "zana bole", "deze kewo"]}
+    batcher = MicroBatcher(eng)
+    results = {}
+    errors = []
+
+    def worker(text):
+        try:
+            for _ in range(5):
+                results[text] = batcher.query_one(text, timeout=60)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in expected]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for text, want in expected.items():
+        assert results[text][0]["targetId"] == want
+    stats = batcher.stats
+    assert stats["queries"] == 15
+    batcher.close()
