@@ -103,11 +103,20 @@ def build_vocab(
     if cache_path and os.path.exists(cache_path):
         return SubwordVocab.load(cache_path)
     lines = [src for src, _ in pair_rows] + [txt for _, txt in target_rows]
+    counts = None
+    try:  # C++ tokenize-and-count fast path (identical counts)
+        from sse_tpu.native import native_token_counts
+
+        counts = native_token_counts(lines)
+    except Exception:
+        counts = None
+    if counts is None:
+        counts = token_counts_from_lines(lines)
     # max_subtoken_length bounds the builder's O(len²) candidate loop —
     # essential for web-scale corpora; 20 chars covers natural subwords.
     vocab = SubwordVocab.build_to_target_size(
         vocab_size,
-        token_counts_from_lines(lines),
+        counts,
         max_subtoken_length=max_subtoken_length,
     )
     if cache_path:

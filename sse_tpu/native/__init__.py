@@ -12,7 +12,13 @@ bit-identical in tests/test_native.py.
 from sse_tpu.native.binding import (
     NativeSubwordEncoder,
     native_available,
+    native_token_counts,
     build_library,
 )
 
-__all__ = ["NativeSubwordEncoder", "native_available", "build_library"]
+__all__ = [
+    "NativeSubwordEncoder",
+    "native_available",
+    "native_token_counts",
+    "build_library",
+]

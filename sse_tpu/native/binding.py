@@ -84,6 +84,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.sse_counter_create.restype = ctypes.c_void_p
+        lib.sse_counter_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
+        ]
+        lib.sse_counter_destroy.argtypes = [ctypes.c_void_p]
+        lib.sse_counter_add.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ]
+        lib.sse_counter_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sse_counter_dump.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
         _LIB = lib
         return _LIB
 
@@ -110,6 +127,59 @@ def _alnum_ranges() -> np.ndarray:
 
 
 _RANGES_CACHE: Optional[np.ndarray] = None
+
+
+def native_token_counts(lines) -> Optional[dict]:
+    """C++ tokenize-and-count over corpus lines — the vocab-prep hot loop
+    (SURVEY.md §3.5). Returns None when no toolchain (callers fall back to
+    sse_tpu.text.subword.token_counts_from_lines, identical counts)."""
+    global _RANGES_CACHE
+    lib = _load()
+    if lib is None:
+        return None
+    if _RANGES_CACHE is None:
+        _RANGES_CACHE = _alnum_ranges()
+    ranges = _RANGES_CACHE
+    handle = lib.sse_counter_create(
+        ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ranges.shape[0],
+    )
+    try:
+        CHUNK = 65536
+        lines = list(lines)
+        for lo in range(0, len(lines), CHUNK):
+            raws = [l.encode("utf-8") for l in lines[lo : lo + CHUNK]]
+            blob = b"".join(raws)
+            offsets = np.zeros((len(raws) + 1,), dtype=np.int64)
+            np.cumsum([len(r) for r in raws], out=offsets[1:])
+            lib.sse_counter_add(
+                handle,
+                blob,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(raws),
+            )
+        n = ctypes.c_int64()
+        total = ctypes.c_int64()
+        lib.sse_counter_sizes(handle, ctypes.byref(n), ctypes.byref(total))
+        blob_out = ctypes.create_string_buffer(max(total.value, 1))
+        lens = np.zeros((max(n.value, 1),), dtype=np.int32)
+        counts = np.zeros((max(n.value, 1),), dtype=np.int64)
+        lib.sse_counter_dump(
+            handle,
+            blob_out,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        out = {}
+        pos = 0
+        raw = blob_out.raw
+        for i in range(n.value):
+            ln = int(lens[i])
+            out[raw[pos : pos + ln].decode("utf-8")] = int(counts[i])
+            pos += ln
+        return out
+    finally:
+        lib.sse_counter_destroy(handle)
 
 
 class NativeSubwordEncoder:

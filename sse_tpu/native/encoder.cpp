@@ -215,9 +215,103 @@ struct Encoder {
   }
 };
 
+// ------------------------------------------------------------ token counts
+// Vocab prep's other hot loop (SURVEY.md §3.5): tokenize every corpus line
+// and count tokens. Same run-splitting rules as Encoder::EncodeText.
+struct TokenCounter {
+  std::vector<std::pair<uint32_t, uint32_t>> alnum_ranges;
+  std::unordered_map<std::string, int64_t> counts;
+
+  bool IsAlnum(uint32_t cp) const {
+    size_t lo = 0, hi = alnum_ranges.size();
+    while (lo < hi) {
+      const size_t mid = (lo + hi) / 2;
+      if (cp < alnum_ranges[mid].first) {
+        hi = mid;
+      } else if (cp > alnum_ranges[mid].second) {
+        lo = mid + 1;
+      } else {
+        return true;
+      }
+    }
+    return false;
+  }
+
+  void AddLine(const char* text, size_t len) {
+    size_t pos = 0, run_start = 0;
+    bool prev_alnum = false, first = true;
+    auto flush = [&](size_t end) {
+      const size_t rl = end - run_start;
+      if (!(rl == 1 && text[run_start] == ' ' && run_start != 0)) {
+        counts[std::string(text + run_start, rl)] += 1;
+      }
+    };
+    while (pos < len) {
+      size_t used;
+      const uint32_t cp = DecodeUtf8(text + pos, len - pos, &used);
+      const bool cur = IsAlnum(cp);
+      if (first) {
+        prev_alnum = cur;
+        first = false;
+      } else if (cur != prev_alnum) {
+        flush(pos);
+        run_start = pos;
+        prev_alnum = cur;
+      }
+      pos += used;
+    }
+    if (len > 0) counts[std::string(text + run_start, len - run_start)] += 1;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* sse_counter_create(const uint32_t* ranges, int32_t n_ranges) {
+  auto* c = new TokenCounter();
+  c->alnum_ranges.reserve(n_ranges);
+  for (int32_t i = 0; i < n_ranges; ++i) {
+    c->alnum_ranges.emplace_back(ranges[2 * i], ranges[2 * i + 1]);
+  }
+  return c;
+}
+
+void sse_counter_destroy(void* c) { delete static_cast<TokenCounter*>(c); }
+
+void sse_counter_add(void* c, const char* blob, const int64_t* offsets,
+                     int32_t n) {
+  auto* counter = static_cast<TokenCounter*>(c);
+  for (int32_t i = 0; i < n; ++i) {
+    counter->AddLine(blob + offsets[i],
+                     static_cast<size_t>(offsets[i + 1] - offsets[i]));
+  }
+}
+
+// Two-phase dump: sizes() reports (n_tokens, total_bytes); dump() fills
+// caller-allocated buffers (concatenated token bytes, per-token byte
+// lengths, per-token counts).
+void sse_counter_sizes(void* c, int64_t* n_tokens, int64_t* total_bytes) {
+  auto* counter = static_cast<TokenCounter*>(c);
+  *n_tokens = static_cast<int64_t>(counter->counts.size());
+  int64_t bytes = 0;
+  for (const auto& kv : counter->counts) bytes += kv.first.size();
+  *total_bytes = bytes;
+}
+
+void sse_counter_dump(void* c, char* blob_out, int32_t* lens_out,
+                      int64_t* counts_out) {
+  auto* counter = static_cast<TokenCounter*>(c);
+  char* p = blob_out;
+  int64_t i = 0;
+  for (const auto& kv : counter->counts) {
+    std::memcpy(p, kv.first.data(), kv.first.size());
+    p += kv.first.size();
+    lens_out[i] = static_cast<int32_t>(kv.first.size());
+    counts_out[i] = kv.second;
+    ++i;
+  }
+}
 
 // blob: concatenated UTF-8 subtoken bytes; lens[i] = byte length of
 // subtoken i (id = i + id_offset). ranges: 2*n_ranges uint32 lo/hi pairs

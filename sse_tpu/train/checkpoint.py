@@ -19,20 +19,41 @@ from sse_tpu.train.loop import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        best_metric: Optional[str] = None,
+    ):
+        """`best_metric` (e.g. "recall@1"): keep the max_to_keep BEST
+        checkpoints by that metric (passed via save(..., metrics=...))
+        instead of the most recent — so a recall regression late in
+        training never evicts the best model."""
         os.makedirs(directory, exist_ok=True)
+        opts = dict(max_to_keep=max_to_keep, enable_async_checkpointing=True)
+        if best_metric:
+            opts.update(
+                best_fn=lambda m: m.get(best_metric, -float("inf")),
+                best_mode="max",
+            )
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, enable_async_checkpointing=True
-            ),
+            options=ocp.CheckpointManagerOptions(**opts),
         )
 
-    def save(self, state: TrainState, step: int, extra: Optional[dict] = None):
+    def save(
+        self,
+        state: TrainState,
+        step: int,
+        extra: Optional[dict] = None,
+        metrics: Optional[dict] = None,
+    ):
         """`extra` carries host-side loop state (e.g. data-iterator epoch) —
-        the reference's analog was implicit in global_step (SURVEY.md §5)."""
+        the reference's analog was implicit in global_step (SURVEY.md §5).
+        `metrics` feeds best-checkpoint retention (see __init__)."""
         self._mgr.save(
             step,
+            metrics=metrics,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 extra=ocp.args.JsonSave(extra or {}),
@@ -41,6 +62,9 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
 
     def restore(
         self, abstract_state: TrainState, step: Optional[int] = None

@@ -181,7 +181,9 @@ def train(
     *,
     eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
     eval_metric: str = "recall@1",
-    checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
+    checkpoint_fn: Optional[
+        Callable[[TrainState, int, Dict[str, Any]], None]
+    ] = None,  # (state, step, metrics-record)
     log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
     state: Optional[TrainState] = None,
     process_index: int = 0,
@@ -271,7 +273,7 @@ def train(
                             lr=state.lr * cfg.learning_rate_decay_factor,
                         )
                 if checkpoint_fn is not None:
-                    checkpoint_fn(state, step)
+                    checkpoint_fn(state, step, record)
                 if log_fn is not None:
                     log_fn(record)
     return state

@@ -150,6 +150,10 @@ class Workspace:
         evaluator = (
             Evaluator(model_cfg, eval_pairs, tspace) if eval_pairs else None
         )
+        # retain the best-recall checkpoint when we have an eval signal
+        if evaluator is not None:
+            mgr.close()
+            mgr = CheckpointManager(self.ckpt_dir, best_metric="recall@1")
         writer = MetricWriter(self.metrics_path)
         mesh = self.mesh()
         if mesh is not None:
@@ -160,12 +164,15 @@ class Workspace:
             train_pairs,
             tspace,
             eval_fn=(lambda p: evaluator.evaluate(p)) if evaluator else None,
-            checkpoint_fn=lambda s, step: mgr.save(s, step),
+            checkpoint_fn=lambda s, step, rec: mgr.save(
+                s, step, metrics={k: v for k, v in rec.items()
+                                  if isinstance(v, (int, float))}
+            ),
             log_fn=writer.write,
             state=state,  # resume from the restored checkpoint
         )
         final = evaluator.evaluate(state.params) if evaluator else {}
-        mgr.save(state, int(state.step))
+        mgr.save(state, int(state.step), metrics=final or None)
         mgr.wait()
         mgr.close()
         writer.write({"step": int(state.step), "final": 1, **final})

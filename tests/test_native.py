@@ -64,3 +64,13 @@ def test_speedup(pair):
     nat_dt = time.perf_counter() - t0
     # conservative: CI boxes vary; locally this is 30-100x
     assert nat_dt < py_dt, (py_dt, nat_dt)
+
+
+def test_native_token_counts_parity():
+    from sse_tpu.native import native_token_counts
+    from tests.test_text import SAMPLES
+
+    lines = _demo_lines() + [s for s in SAMPLES if s]
+    got = native_token_counts(lines)
+    want = token_counts_from_lines(lines)
+    assert got == want

@@ -161,3 +161,24 @@ def test_checkpoint_round_trip(tmp_path):
         np.asarray(state.params["target_table"]),
     )
     mgr.close()
+
+
+def test_best_checkpoint_retention(tmp_path):
+    """best_metric keeps the highest-recall checkpoint even after worse
+    later saves."""
+    vocab, tspace, tr, ev = build_task("classification")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SOURCE_ENCODER_ONLY,
+        src_tower=tower(vocab.vocab_size),
+        num_targets=NUM_TARGETS,
+    )
+    cfg = TrainConfig(batch_size=32, loss=LossConfig(kind="full"))
+    state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    mgr = CheckpointManager(
+        str(tmp_path / "best"), max_to_keep=1, best_metric="recall@1"
+    )
+    mgr.save(state, 1, metrics={"recall@1": 0.9})
+    mgr.save(state, 2, metrics={"recall@1": 0.4})  # regression
+    mgr.wait()
+    assert mgr.best_step() == 1
+    mgr.close()
