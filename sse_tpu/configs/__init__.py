@@ -36,7 +36,10 @@ class TaskConfig:
     #                      not silently unbalance the two towers)
     num_layers: int = 1
     encoding_dim: int = 128
-    cell: str = "gru"  # gru | lstm | transformer
+    # gru | lstm | transformer | bow. NOTE: the transformer tower wants a
+    # ~10x lower learning_rate than the RNNs (0.003 vs 0.03 at demo scale;
+    # it plateaus with collapsed embeddings at RNN-tuned rates).
+    cell: str = "gru"
     readout: str = "final"  # final | mean | attention (towers.TowerConfig)
     # training
     batch_size: int = 128

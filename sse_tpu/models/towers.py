@@ -40,7 +40,8 @@ class TowerConfig:
     hidden: int = 128  # reference: src_cell_size / tgt_cell_size
     num_layers: int = 1  # reference: num_layers
     encoding_dim: int = 64  # reference: encoding_size (shared space)
-    cell: str = "gru"  # gru | lstm | transformer
+    cell: str = "gru"  # gru | lstm | transformer | bow (bag-of-subwords
+    #                     mean — SURVEY.md §6's self-relative baseline)
     # readout of the state sequence into one vector:
     #   final     — state at each row's own length (rnn default; the
     #               reference's dynamic_rnn final-state behavior)
@@ -95,6 +96,10 @@ def init_tower(key: jax.Array, cfg: TowerConfig) -> Params:
                 }
             )
         p["layers"] = layers
+    elif cfg.cell == "bow":
+        if cfg.embed_dim != cfg.hidden:
+            raise ValueError("bow tower requires embed_dim == hidden")
+        # no sequence parameters: embed → masked mean → projection
     elif cfg.cell == "transformer":
         d = cfg.embed_dim
         if d != cfg.hidden:
@@ -242,7 +247,9 @@ def _transformer_encode(
 ) -> jax.Array:
     """x [B,L,E] fp32 embeddings, valid [B,L] float 0/1 → pooled [B,H]."""
     B, L, d = x.shape
-    x = x + jnp.asarray(_sinusoid_table(cfg.max_len, d))[None, :L]
+    # scale embeddings by √d (standard transformer input scaling) so the
+    # unit-magnitude sinusoids don't drown the 0.05-std token embeddings
+    x = x * math.sqrt(d) + jnp.asarray(_sinusoid_table(cfg.max_len, d))[None, :L]
     neg_inf = jnp.finfo(jnp.float32).min
     attn_bias = jnp.where(valid[:, None, None, :] > 0, 0.0, neg_inf)  # [B,1,1,L]
     nh, hd = cfg.num_heads, d // cfg.num_heads
@@ -374,6 +381,12 @@ def encode_raw(
             feats = _attention_readout(params, states, valid)
         else:
             raise ValueError(f"unknown readout {cfg.readout!r}")
+    elif cfg.cell == "bow":
+        # bag-of-subwords: the embeddings ARE the states
+        if cfg.readout == "attention":
+            feats = _attention_readout(params, emb, valid)
+        else:
+            feats = _masked_mean(emb, valid)
     else:
         states = _transformer_encode(params, cfg, emb, valid)
         if cfg.readout == "attention":

@@ -122,3 +122,34 @@ def test_config_validation():
             src_tower=tower(),
             tgt_tower=tower(encoding_dim=D + 1),
         )
+
+
+def test_bow_tower_baseline():
+    """Bag-of-subwords tower (SURVEY.md §6 self-relative baseline):
+    shapes, padding invariance, order invariance."""
+    cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER, src_tower=tower("bow")
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "layers" not in params["src_tower"]
+    tokens, lengths = rand_batch(jax.random.PRNGKey(5))
+    e1 = encode_source(params, cfg, tokens, lengths)
+    assert e1.shape == (B, D)
+    # padding invariance
+    pos = jnp.arange(L)[None, :]
+    garbage = jnp.where(pos < lengths[:, None], tokens, V - 1)
+    np.testing.assert_allclose(
+        np.asarray(e1),
+        np.asarray(encode_source(params, cfg, garbage, lengths)),
+        atol=1e-5,
+    )
+    # bow is order-invariant (unlike rnn): reverse each row's valid prefix
+    rev = np.asarray(tokens).copy()
+    for i in range(B):
+        n = int(lengths[i])
+        rev[i, :n] = rev[i, :n][::-1]
+    np.testing.assert_allclose(
+        np.asarray(e1),
+        np.asarray(encode_source(params, cfg, jnp.asarray(rev), lengths)),
+        atol=1e-4,
+    )
