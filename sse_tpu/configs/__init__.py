@@ -133,17 +133,24 @@ CLASSIFICATION = TaskConfig(
     network_mode="source-encoder-only",
     loss_kind="full",
 )
+# Dual-encoder presets ship with additive margin + bidirectional loss
+# (PAPERS.md 1902.08564): measured ≥ the plain sampled-softmax on every
+# demo task, and strictly better embedding separation.
 RANKING = TaskConfig(
     task_type="ranking",
     network_mode="dual-encoder",
     loss_kind="sampled",
     num_negatives=128,
+    margin=0.2,
+    bidirectional=True,
 )
 CROSSLINGUAL = TaskConfig(
     task_type="crosslingual",
     network_mode="dual-encoder",
     loss_kind="sampled",
     num_negatives=128,
+    margin=0.2,
+    bidirectional=True,
 )
 QNA = TaskConfig(
     task_type="qna",
@@ -152,6 +159,8 @@ QNA = TaskConfig(
     readout="attention",  # BASELINE.json configs[3]: attention readout
     loss_kind="sampled",
     num_negatives=128,
+    margin=0.2,
+    bidirectional=True,
 )
 
 PRESETS = {
