@@ -87,7 +87,9 @@ def cmd_index(args) -> int:
 
     ws = Workspace.open(args.model_dir)
     t0 = time.perf_counter()
-    index = ws.build_index(args.data_dir, export_tsv=args.export_tsv)
+    index = ws.build_index(
+        args.data_dir, export_tsv=args.export_tsv, capacity=args.capacity
+    )
     dt = time.perf_counter() - t0
     print(
         f"[sse] built index: {index.num_real} targets, dim {index.dim}, "
@@ -239,6 +241,10 @@ def main(argv=None) -> int:
     p.add_argument("--model_dir", required=True)
     p.add_argument("--data_dir", required=True)
     p.add_argument("--export_tsv", default=None, help="also write reference-format TSV")
+    p.add_argument(
+        "--capacity", type=int, default=None,
+        help="reserve index rows for live POST /api/add growth",
+    )
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("eval", help="top-N recall eval (reference: sse_evaluator)")

@@ -61,6 +61,47 @@ class ShardedIndex:
         """Global row indices → (target_id, target_text)."""
         return [(self.ids[r], self.texts[r]) for r in rows]
 
+    @property
+    def capacity(self) -> int:
+        return self.padded_size
+
+    def add(
+        self,
+        emb_rows: np.ndarray,  # [n, D] (will be L2-normalized)
+        ids: Sequence[str],
+        texts: Sequence[str],
+    ) -> None:
+        """Append documents into padding capacity — live index growth with
+        NO recompile of the serving program (num_real is a runtime operand
+        of the fused query fn). Raises when capacity is exhausted; build
+        with from_embeddings(..., capacity=...) to reserve headroom.
+        (Deletion = rebuild; tombstoning rows is not supported — a zeroed
+        row would still score 0 and could outrank true negatives.)"""
+        n = emb_rows.shape[0]
+        if self.num_real + n > self.capacity:
+            raise ValueError(
+                f"index full: {self.num_real}+{n} > capacity {self.capacity}"
+            )
+        rows = np.asarray(emb_rows, np.float32)
+        rows = rows / np.maximum(
+            np.linalg.norm(rows, axis=1, keepdims=True), 1e-6
+        )
+        update = jnp.asarray(rows).astype(self.emb.dtype)
+        # NOT donated: a concurrent in-flight query may still hold the old
+        # buffer (the serving engine reads index.emb without a lock); the
+        # copy costs one index-sized HBM pass per add() call.
+        new_emb = jax.jit(
+            lambda e, u, at: jax.lax.dynamic_update_slice(e, u, (at, 0))
+        )(self.emb, update, jnp.int32(self.num_real))
+        if self.mesh is not None:  # keep the row sharding stable
+            new_emb = jax.device_put(
+                new_emb, NamedSharding(self.mesh, P("model", None))
+            )
+        self.emb = new_emb
+        self.ids.extend(ids)
+        self.texts.extend(texts)
+        self.num_real += n
+
     # ------------------------------------------------------------ persist
     def save(self, directory: str) -> None:
         directory = os.path.abspath(directory)
@@ -150,6 +191,7 @@ def from_embeddings(
     texts: Sequence[str],
     mesh: Optional[Mesh] = None,
     dtype=jnp.float32,
+    capacity: Optional[int] = None,  # reserve rows for live add()
 ) -> ShardedIndex:
     """Wrap host embeddings [T, D] into a (padded, sharded) index.
 
@@ -162,8 +204,9 @@ def from_embeddings(
     # top-k kernel's block grid divides evenly (sse_tpu.ops.fused_topk);
     # small (demo-scale) indexes keep minimal padding — they take the XLA
     # path where alignment doesn't matter.
-    align = 4096 if t >= 65536 else 8
-    t_pad = _round_up(max(t, 1), shards * align)
+    t_eff = max(t, capacity or 0)
+    align = 4096 if t_eff >= 65536 else 8
+    t_pad = _round_up(max(t_eff, 1), shards * align)
     padded = np.zeros((t_pad, d), np.float32)
     padded[:t] = emb
     arr = jnp.asarray(padded).astype(dtype)
@@ -182,6 +225,7 @@ def build_index(
     batch_size: int = 256,
     progress: Optional[Callable[[int, int], None]] = None,
     dtype=jnp.float32,
+    capacity: Optional[int] = None,  # reserve rows for live add()
 ) -> ShardedIndex:
     """Encode the full target space into a sharded index (the reference's
     sse_index.py stack, SURVEY.md §3.2).
@@ -198,6 +242,7 @@ def build_index(
             target_space.texts,
             mesh,
             dtype=dtype,
+            capacity=capacity,
         )
 
     @jax.jit
@@ -219,5 +264,6 @@ def build_index(
             progress(min(lo + batch_size, t), t)
     emb = np.concatenate(outs)[:t]
     return from_embeddings(
-        emb, target_space.ids, target_space.texts, mesh, dtype=dtype
+        emb, target_space.ids, target_space.texts, mesh, dtype=dtype,
+        capacity=capacity,
     )

@@ -57,7 +57,7 @@ def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t,
 def build_fused_query_fn(
     model_cfg: SSEConfig,
     k: int,
-    num_real: int,
+    num_real: Optional[int] = None,  # baked default; pass dynamically below
     mesh: Optional[Mesh] = None,
     batch: Optional[int] = None,
     t_pad: Optional[int] = None,
@@ -66,7 +66,12 @@ def build_fused_query_fn(
     interpret: bool = False,
     pallas_variant: str = "packed",
 ) -> Callable:
-    """Compile-ready fused(params, emb, tokens, lengths) → (vals, rows).
+    """Compile-ready fused(params, emb, tokens, lengths[, num_real])
+    → (vals, rows).
+
+    `num_real` is a RUNTIME int32 operand (rows ≥ num_real are padding),
+    so a growing index (sse_tpu.index add()) never recompiles; the
+    constructor arg only sets the default when the call omits it.
 
     `use_pallas=None` auto-selects: Pallas on TPU backends when a
     VMEM-fitting block size divides the (per-shard) index length.
@@ -93,11 +98,11 @@ def build_fused_query_fn(
     if sharded:
         axis = "model"
 
-        def body(params, emb_block, tokens, lengths):
+        def body(params, emb_block, tokens, lengths, nr):
             q = sse.encode_source(params, model_cfg, tokens, lengths)
             pallas_on, bt = resolve_backend(emb_block.shape[0], q.shape[0])
             vals, gidx = _shard_topk(
-                q, emb_block, k, num_real, axis, pallas_on, bt, interpret,
+                q, emb_block, k, nr, axis, pallas_on, bt, interpret,
                 pallas_variant,
             )
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
@@ -106,24 +111,36 @@ def build_fused_query_fn(
             midx = jnp.take_along_axis(all_idx, mpos, axis=1)
             return mvals, midx
 
-        return jax.jit(
+        mapped = jax.jit(
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(P(), P("model", None), P(), P()),
+                in_specs=(P(), P("model", None), P(), P(), P()),
                 out_specs=(P(), P()),
                 check_vma=False,  # outputs identical post-all_gather
             )
         )
 
+        def fused_sharded(params, emb, tokens, lengths, nr=None):
+            nr = jnp.asarray(
+                num_real if nr is None else nr, jnp.int32
+            )
+            return mapped(params, emb, tokens, lengths, nr)
+
+        return fused_sharded
+
     @jax.jit
-    def fused(params, emb, tokens, lengths):
+    def fused_jit(params, emb, tokens, lengths, nr):
         q = sse.encode_source(params, model_cfg, tokens, lengths)
         pallas_on, bt = resolve_backend(emb.shape[0], q.shape[0])
         return _shard_topk(
-            q, emb, k, num_real, None, pallas_on, bt, interpret,
+            q, emb, k, nr, None, pallas_on, bt, interpret,
             pallas_variant,
         )
+
+    def fused(params, emb, tokens, lengths, nr=None):
+        nr = jnp.asarray(num_real if nr is None else nr, jnp.int32)
+        return fused_jit(params, emb, tokens, lengths, nr)
 
     return fused
 
@@ -192,6 +209,30 @@ class QueryEngine:
                 break
         return jnp.asarray(tokens[:, :width]), jnp.asarray(lengths)
 
+    def add_documents(self, ids: Sequence[str], texts: Sequence[str]) -> int:
+        """Live index growth: encode + append new targets (tower modes).
+        Returns the new num_real. No recompilation — the serving program
+        takes num_real as a runtime operand."""
+        from sse_tpu.models.sse import NetworkMode
+
+        if self.model_cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
+            raise ValueError(
+                "source-encoder-only targets are learned table rows; "
+                "adding documents requires a tower mode"
+            )
+        from sse_tpu.data.corpus import batch_encode
+
+        tokens, lengths = batch_encode(self.vocab, list(texts), self.max_seq_length)
+        emb = sse.target_embeddings(
+            self.params,
+            self.model_cfg,
+            tokens=jnp.asarray(tokens),
+            lengths=jnp.asarray(lengths),
+        )
+        self.index.add(np.asarray(emb), list(ids), list(texts))
+        self.k = min(max(self.k, 1), self.index.num_real)
+        return self.index.num_real
+
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
         """Batch of query strings → per-query top-k
         [{'targetId', 'targetText', 'score', 'row'}, ...] best-first."""
@@ -201,7 +242,10 @@ class QueryEngine:
                 out.extend(self.query(texts[lo : lo + self.max_batch]))
             return out
         tokens, lengths = self.encode_queries(texts)
-        vals, rows = self._fused(self.params, self.index.emb, tokens, lengths)
+        vals, rows = self._fused(
+            self.params, self.index.emb, tokens, lengths,
+            self.index.num_real,  # runtime operand: index may have grown
+        )
         vals = np.asarray(vals)
         rows = np.asarray(rows)
         results = []

@@ -82,6 +82,39 @@ def make_handler(engine):
                 return
             self._send(404, b'{"error": "not found"}', "application/json")
 
+        def do_POST(self):  # noqa: N802 (stdlib API name)
+            url = urlparse(self.path)
+            if url.path != "/api/add":
+                self._send(404, b'{"error": "not found"}', "application/json")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                docs = json.loads(self.rfile.read(length))
+                ids = [d["targetId"] for d in docs]
+                texts = [d["targetText"] for d in docs]
+            except Exception as e:
+                self._send(
+                    400,
+                    json.dumps({"error": f"bad body: {e}"}).encode(),
+                    "application/json",
+                )
+                return
+            try:
+                with lock:
+                    n = engine.add_documents(ids, texts)
+            except Exception as e:
+                self._send(
+                    400,
+                    json.dumps({"error": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            self._send(
+                200,
+                json.dumps({"added": len(ids), "num_targets": n}).encode(),
+                "application/json",
+            )
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 

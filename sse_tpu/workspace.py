@@ -180,7 +180,10 @@ class Workspace:
         return final
 
     def build_index(
-        self, data_dir: str, export_tsv: Optional[str] = None
+        self,
+        data_dir: str,
+        export_tsv: Optional[str] = None,
+        capacity: Optional[int] = None,
     ) -> ShardedIndex:
         vocab, tspace, _, _ = self.prepare_data(data_dir, need_eval=False)
         model_cfg = self.model_config(vocab, tspace)
@@ -196,6 +199,7 @@ class Workspace:
             dtype=_jnp.bfloat16
             if self.cfg.index_dtype == "bfloat16"
             else _jnp.float32,
+            capacity=capacity,
         )
         index.save(self.index_dir)
         if export_tsv:

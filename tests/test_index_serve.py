@@ -252,3 +252,30 @@ def test_micro_batcher_concurrent(setup):
     stats = batcher.stats
     assert stats["queries"] == 15
     batcher.close()
+
+
+def test_live_index_add(setup):
+    """Grow a serving index in place: added docs become retrievable with
+    NO recompilation (num_real is a runtime operand), padding exactness
+    holds, capacity overflow raises."""
+    vocab, tspace, model_cfg, params, tg = setup
+    emb = np.asarray(build_index(params, model_cfg, tspace).emb)[:24]
+    idx = from_embeddings(
+        emb, tspace.ids, tspace.texts, capacity=32
+    )
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    new_text = "xylo qwerty uniquewords"
+    before = eng.query([new_text])[0]
+    assert all(h["targetText"] != new_text for h in before)
+    n = eng.add_documents(["tNEW"], [new_text])
+    assert n == 25
+    after = eng.query([new_text])[0]
+    assert after[0]["targetId"] == "tNEW"
+    # rows beyond num_real still never returned
+    assert all(h["row"] < 25 for h in after)
+    # capacity guard
+    cap = idx.capacity - idx.num_real
+    with pytest.raises(ValueError):
+        idx.add(np.zeros((cap + 1, 16), np.float32),
+                [f"x{i}" for i in range(cap + 1)],
+                ["t"] * (cap + 1))
