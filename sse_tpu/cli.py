@@ -25,6 +25,14 @@ import sys
 import time
 
 
+def _parse_bool(s: str) -> bool:
+    if s.lower() in ("1", "true", "yes", "on"):
+        return True
+    if s.lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def _add_task_overrides(p: argparse.ArgumentParser) -> None:
     """Expose every TaskConfig field as a --flag (the reference's
     tf.app.flags surface)."""
@@ -33,7 +41,9 @@ def _add_task_overrides(p: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(TaskConfig):
         if f.name == "task_type":
             continue
-        p.add_argument(f"--{f.name}", type=type(f.default), default=None)
+        # NB: bare type=bool would make --flag False truthy
+        typ = _parse_bool if f.type == "bool" or isinstance(f.default, bool) else type(f.default)
+        p.add_argument(f"--{f.name}", type=typ, default=None)
 
 
 def _build_cfg(args) -> "TaskConfig":
