@@ -182,3 +182,32 @@ def test_best_checkpoint_retention(tmp_path):
     mgr.wait()
     assert mgr.best_step() == 1
     mgr.close()
+
+
+def test_hard_negative_mining_trains():
+    """num_hard_negatives path: cache refresh + mining inside the step
+    compiles and learns (SURVEY-adjacent: PAPERS.md 2303.15311)."""
+    vocab, tspace, tr, ev = build_task("ranking")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.DUAL_ENCODER,
+        src_tower=tower(vocab.vocab_size),
+        tgt_tower=tower(vocab.vocab_size),
+    )
+    cfg = TrainConfig(
+        batch_size=32,
+        learning_rate=0.02,  # margin+bidirectional roughly doubles the
+        #                       gradient signal — needs a lower lr than the
+        #                       plain-sampled tests at these tiny sizes
+        loss=LossConfig(
+            kind="sampled", num_negatives=8, num_hard_negatives=2,
+            margin=0.1, bidirectional=True,
+        ),
+        max_epochs=12,
+        hard_negative_refresh=10,
+        seed=0,
+    )
+    state = train(model_cfg, cfg, tr, tspace)
+    result = Evaluator(model_cfg, ev, tspace, batch_size=32, ks=(1,)).evaluate(
+        state.params
+    )
+    assert result["recall@1"] > 0.7, result
