@@ -183,16 +183,20 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from sse_tpu.bench import run_query_bench
+    from sse_tpu import bench as bench_lib
 
-    result = run_query_bench(
-        model_dir=args.model_dir,
-        num_targets=args.num_targets,
-        encoding_dim=args.encoding_dim,
-        batch=args.batch,
-        k=args.k,
-        seconds=args.seconds,
-    )
+    if args.kind == "query":
+        result = bench_lib.run_query_bench(
+            model_dir=args.model_dir,
+            num_targets=args.num_targets,
+            encoding_dim=args.encoding_dim,
+            batch=args.batch or 64,
+            k=args.k,
+        )
+    elif args.kind == "index":
+        result = bench_lib.run_index_bench(batch_size=args.batch or 512)
+    else:
+        result = bench_lib.run_train_bench(batch=args.batch or 256)
     print(json.dumps(result))
     return 0
 
@@ -284,11 +288,14 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.set_defaults(fn=cmd_serve)
 
-    p = sub.add_parser("bench", help="query-path throughput microbenchmark")
+    p = sub.add_parser("bench", help="throughput microbenchmarks")
+    p.add_argument(
+        "--kind", default="query", choices=["query", "index", "train"]
+    )
     p.add_argument("--model_dir", default=None)
     p.add_argument("--num_targets", type=int, default=100_000)
     p.add_argument("--encoding_dim", type=int, default=128)
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=None)  # per-kind default
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--seconds", type=float, default=5.0)
     p.set_defaults(fn=cmd_bench)
