@@ -118,3 +118,23 @@ def test_engine_pallas_flag_cpu_interpret():
     pv, pi = pl_fn(params, emb, tokens, lengths)
     np.testing.assert_array_equal(np.asarray(xi), np.asarray(pi))
     np.testing.assert_allclose(np.asarray(xv), np.asarray(pv), rtol=1e-5)
+
+
+def test_fused_topk_massive_ties_interpret():
+    """Adversarial ties: low-cardinality scores force equal keys across
+    blocks and within blocks; both variants must stay consistent with
+    their references (packed keys remain unique by construction)."""
+    b, d, t = 8, 16, 768
+    rng = np.random.default_rng(7)
+    # embeddings quantized to +-1 → many exactly-equal dot products
+    q = jnp.asarray(np.sign(rng.normal(size=(b, d))).astype(np.float32))
+    emb = jnp.asarray(np.sign(rng.normal(size=(t, d))).astype(np.float32))
+    for variant in ("exact", "packed"):
+        vals, idx = fused_score_topk(
+            q, emb, 10, t, block_t=256, interpret=True, variant=variant
+        )
+        evals, eidx = _reference(q, emb, 10, t, quantized=(variant == "packed"))
+        np.testing.assert_array_equal(np.asarray(idx), eidx)
+        # no duplicate rows within any result
+        for r in np.asarray(idx):
+            assert len(set(r)) == 10
