@@ -114,3 +114,34 @@ class TestTokenVocab:
         assert v.decode(v.encode("hello world")) == "hello world"
         ids = v.encode("hello mars")
         assert v._ids[TokenVocab.OOV] in ids
+
+
+class TestGoldenFiles:
+    """Checked-in golden vocab + encodings (SURVEY.md §4: 'golden files
+    generated from demo data') pin cross-version determinism of the
+    subword algorithm — any change to tokenization, escaping, candidate
+    counting, or tie-breaking fails here."""
+
+    def test_vocab_build_matches_golden(self):
+        import os
+
+        golden = SubwordVocab.load(
+            os.path.join(os.path.dirname(__file__), "golden", "demo_vocab.txt")
+        )
+        rebuilt = SubwordVocab.build_to_target_size(
+            200, token_counts_from_lines(_demo_lines())
+        )
+        assert [rebuilt.id_to_subtoken(i) for i in range(rebuilt.vocab_size)] == [
+            golden.id_to_subtoken(i) for i in range(golden.vocab_size)
+        ]
+
+    def test_encodings_match_golden(self):
+        import json
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), "golden")
+        vocab = SubwordVocab.load(os.path.join(base, "demo_vocab.txt"))
+        with open(os.path.join(base, "demo_encodings.json")) as f:
+            samples = json.load(f)
+        for text, ids in samples.items():
+            assert vocab.encode(text) == ids, text
