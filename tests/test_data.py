@@ -132,3 +132,24 @@ def test_synthetic_tasks(task):
             w for s, _ in train for w in s.split() if len(w) == 8
         }  # 4-syllable source-language words
         assert src_words and not (src_words & tgt_words)
+
+
+def test_multi_label_pairs_and_recall(tmp_path):
+    """Reference semantics: a pair row may list several correct target ids
+    ("t1,t2" or "t1|t2"); recall@k counts a hit if ANY appears."""
+    import numpy as np
+
+    from sse_tpu.evals import recall_at_k
+
+    p = tmp_path / "EvalPairs"
+    p.write_text("query one\tt00000,t00002\nquery two\tt00001|t00003\n")
+    rows = read_pairs_tsv(str(p))
+    assert rows == [
+        ("query one", ["t00000", "t00002"]),
+        ("query two", ["t00001", "t00003"]),
+    ]
+    # top rows: example 0 found its SECOND label at rank 2
+    top = np.array([[5, 2, 7], [1, 0, 4]])
+    r = recall_at_k(top, [(0, 2), (1, 3)], ks=(1, 2))
+    assert r["recall@1"] == 0.5  # only example 1 hits at rank 1
+    assert r["recall@2"] == 1.0
