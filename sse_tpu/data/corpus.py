@@ -173,7 +173,9 @@ def encode_target_space(
     key = None
     if cache_path:
         h = hashlib.sha256()
-        h.update(repr((max_seq_length, vocab.vocab_size)).encode())
+        # vocab CONTENT, not just size: a regenerated vocab.txt of the same
+        # size but different subtokens must invalidate the token cache
+        h.update(repr((max_seq_length, vocab.content_digest())).encode())
         for tid, txt in target_rows:
             h.update(tid.encode())
             h.update(txt.encode())

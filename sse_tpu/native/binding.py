@@ -223,15 +223,25 @@ class NativeSubwordEncoder:
 
     def encode(self, text: str) -> List[int]:
         raw = text.encode("utf-8")
-        out = np.empty((len(raw) * 4 + 8,), dtype=np.int32)
-        n = self._lib.sse_encode(
-            self._handle,
-            raw,
-            len(raw),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out.shape[0],
-        )
-        return out[:n].tolist()
+        # Escaping can emit up to 6 ids per input BYTE (a 1-char token of a
+        # codepoint 100-127 outside the alphabet escapes to "\NNN;" plus
+        # the trailing "_" = 6 single-char subtokens), so size for the
+        # worst case and retry bigger if the C side filled the buffer —
+        # sse_encode truncates at capacity, and a full buffer is the only
+        # signal that truncation may have happened.
+        cap = len(raw) * 6 + 8
+        while True:
+            out = np.empty((cap,), dtype=np.int32)
+            n = self._lib.sse_encode(
+                self._handle,
+                raw,
+                len(raw),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out.shape[0],
+            )
+            if n < out.shape[0]:
+                return out[:n].tolist()
+            cap *= 4
 
     def encode_batch(
         self, texts: Sequence[str], max_len: int, eos_id: int = 1

@@ -60,6 +60,19 @@ def _topk_passes(scores, gidx, k):
 _INT_MIN = -(2**31)
 _IDX_MASK = 4095  # 12 low bits ↔ block_t ≤ 4096
 
+# Padding rows and running-top-k init sink to the sortable key of NEG
+# (low bits cleared) rather than INT_MIN: decoded it's a large-negative
+# FINITE float (never NaN) that loses every merge, and init indices are 0
+# (always in range) — so even a fully-padded shard / num_real < k can
+# never surface an out-of-range row id. (_INT_MIN remains the in-pass
+# masking value only; masked keys never win while a sink key exists.)
+import numpy as _np
+
+_b = _np.asarray(NEG, _np.float32).view(_np.int32)
+_NEG_SINK = int(
+    (_b ^ ((_b >> 31) & _np.int32(0x7FFFFFFF))) & ~_np.int32(_IDX_MASK)
+)
+
 
 def _to_sortable(f32):
     bits = jax.lax.bitcast_convert_type(f32, jnp.int32)
@@ -97,8 +110,8 @@ def _packed_kernel(
 
     @pl.when(i == 0)
     def _():
-        rv[:] = jnp.full_like(rv, _INT_MIN)
-        ri[:] = jnp.full_like(ri, 2**30)
+        rv[:] = jnp.full_like(rv, _NEG_SINK)
+        ri[:] = jnp.zeros_like(ri)
 
     num_real = nr_ref[0]
     scores = jax.lax.dot_general(
@@ -110,8 +123,8 @@ def _packed_kernel(
     row0 = i * block_t
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     key = _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
-    # padding rows sink to INT_MIN while keeping every key unique
-    key = jnp.where(row0 + col < num_real, key, _INT_MIN)
+    # padding rows sink to the finite NEG key (unique via the col bits)
+    key = jnp.where(row0 + col < num_real, key, _NEG_SINK)
     keys_scr[:] = key | (_IDX_MASK - col)
     # candidate slots must start inert: passes skipped by the early exit
     # would otherwise leak the PREVIOUS block's candidates into the merge

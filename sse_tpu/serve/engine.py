@@ -173,16 +173,24 @@ class QueryEngine:
         self.index = index
         self.max_seq_length = max_seq_length
         self.max_batch = max_batch
+        # remember what the caller ASKED for: an engine started on a small
+        # index re-raises k toward requested_k as add_documents() grows it
+        self.requested_k = k
         self.k = min(k, index.num_real)
-        self._fused = build_fused_query_fn(
-            model_cfg,
+        self._use_pallas = use_pallas
+        self._pallas_variant = pallas_variant
+        self._fused = self._build_fused()
+
+    def _build_fused(self) -> Callable:
+        return build_fused_query_fn(
+            self.model_cfg,
             k=self.k,
-            num_real=index.num_real,
-            mesh=index.mesh,
-            t_pad=index.padded_size,
-            emb_dtype=index.emb.dtype,
-            use_pallas=use_pallas,
-            pallas_variant=pallas_variant,
+            num_real=self.index.num_real,
+            mesh=self.index.mesh,
+            t_pad=self.index.padded_size,
+            emb_dtype=self.index.emb.dtype,
+            use_pallas=self._use_pallas,
+            pallas_variant=self._pallas_variant,
         )
 
     # --------------------------------------------------------------- host
@@ -230,7 +238,12 @@ class QueryEngine:
             lengths=jnp.asarray(lengths),
         )
         self.index.add(np.asarray(emb), list(ids), list(texts))
-        self.k = min(max(self.k, 1), self.index.num_real)
+        new_k = min(self.requested_k, self.index.num_real)
+        if new_k != self.k:
+            # the index grew past the startup clamp: rebuild the fused fn
+            # at the larger k (one-time retrace on the next query)
+            self.k = new_k
+            self._fused = self._build_fused()
         return self.index.num_real
 
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
@@ -242,18 +255,27 @@ class QueryEngine:
                 out.extend(self.query(texts[lo : lo + self.max_batch]))
             return out
         tokens, lengths = self.encode_queries(texts)
-        vals, rows = self._fused(
-            self.params, self.index.emb, tokens, lengths,
-            self.index.num_real,  # runtime operand: index may have grown
+        # Snapshot the index in the REVERSE of add()'s write order (add()
+        # publishes emb/ids/texts first, num_real LAST): reading num_real
+        # first guarantees the emb/ids/texts read after it are at least as
+        # new, so a concurrent add() can only make the snapshot miss the
+        # newest rows — never pair a new num_real with an old emb (which
+        # would let zero-padding rows score and outrank real results).
+        nr = self.index.num_real
+        emb, ids, texts_side, fused = (
+            self.index.emb, self.index.ids, self.index.texts, self._fused,
         )
+        vals, rows = fused(self.params, emb, tokens, lengths, nr)
         vals = np.asarray(vals)
         rows = np.asarray(rows)
         results = []
         for i in range(len(texts)):
             hits = []
-            for j in range(self.k):
+            # k from the program's own output width: immune to a torn read
+            # of (self.k, self._fused) during a concurrent rebuild
+            for j in range(min(rows.shape[1], nr)):
                 r = int(rows[i, j])
-                tid, ttext = self.index.ids[r], self.index.texts[r]
+                tid, ttext = ids[r], texts_side[r]
                 hits.append(
                     {
                         "targetId": tid,

@@ -169,6 +169,18 @@ class SubwordVocab:
                 start += 1
         return ids
 
+    def content_digest(self) -> str:
+        """Stable hash of the full subtoken list. Cache keys must use this
+        (not vocab_size): two vocabs of the same size with different
+        subtokens produce different encodings."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for s in self._subtokens:
+            h.update(s.encode("utf-8"))
+            h.update(b"\x00")
+        return h.hexdigest()[:16]
+
     # ------------------------------------------------------------- persist
     def save(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:

@@ -67,6 +67,26 @@ def test_target_cache_hit(encoded):
     np.testing.assert_array_equal(t2.tokens, tspace.tokens)
 
 
+def test_target_cache_invalidated_by_vocab_content(encoded):
+    """Same vocab SIZE, different subtokens → the npz token cache must
+    miss (the key hashes vocab content, not just size — ADVICE.md r1)."""
+    from sse_tpu.text.subword import SubwordVocab
+
+    vocab, tspace, _, work, target_rows, _ = encoded
+    subs = [
+        vocab.id_to_subtoken(i) for i in range(2, vocab.vocab_size)
+    ]
+    # reverse the non-reserved subtokens: same set (greedy matching picks
+    # the same segments) but every id remaps → encodings must change
+    shuffled = SubwordVocab(subs[::-1])
+    assert shuffled.vocab_size == vocab.vocab_size
+    assert shuffled.content_digest() != vocab.content_digest()
+    t2 = encode_target_space(
+        shuffled, target_rows, L, str(work / "targets.npz")
+    )
+    assert not np.array_equal(t2.tokens, tspace.tokens)
+
+
 def test_vocab_cache_hit(encoded, corpus):
     vocab, _, _, work, target_rows, train_rows = encoded
     v2 = build_vocab(300, train_rows, target_rows, str(work / "vocab.txt"))

@@ -279,3 +279,50 @@ def test_live_index_add(setup):
         idx.add(np.zeros((cap + 1, 16), np.float32),
                 [f"x{i}" for i in range(cap + 1)],
                 ["t"] * (cap + 1))
+
+
+def test_engine_k_regrows_after_add(setup):
+    """An engine started on a tiny index clamps k, but must raise it back
+    toward the originally requested k as add_documents grows the index
+    (ADVICE.md r1: the clamp used to be permanent)."""
+    vocab, tspace, model_cfg, params, tg = setup
+    emb = np.asarray(build_index(params, model_cfg, tspace).emb)[:2]
+    idx = from_embeddings(emb, tspace.ids[:2], tspace.texts[:2], capacity=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=5)
+    assert eng.k == 2
+    assert len(eng.query(["whatever"])[0]) == 2
+    eng.add_documents(
+        [f"n{i}" for i in range(6)], [f"brand new doc {i}" for i in range(6)]
+    )
+    assert eng.k == 5  # back to the requested k
+    hits = eng.query(["brand new doc 3"])[0]
+    assert len(hits) == 5
+    # the added docs (near-identical texts, untrained params → near-ties
+    # among themselves) outrank the two unrelated originals
+    assert hits[0]["targetId"].startswith("n")
+
+
+def test_live_index_add_sharded_mesh(setup):
+    """Live add under a {model: 8} mesh: rows crossing shard boundaries
+    become retrievable, the P('model', None) sharding survives add(), and
+    sharded results equal an unsharded engine over the same rows
+    (VERDICT.md r1 item 7)."""
+    vocab, tspace, model_cfg, params, tg = setup
+    full = np.asarray(build_index(params, model_cfg, tspace).emb)[:24]
+    mesh = make_mesh(data=1, model=8)
+    # capacity 64 → 8 rows/shard; start with 14 real rows, then add 10 →
+    # rows 14..23 span shards 1 and 2 (the update crosses a shard boundary)
+    idx = from_embeddings(
+        full[:14], tspace.ids[:14], tspace.texts[:14], mesh, capacity=64
+    )
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=5)
+    eng.add_documents(tspace.ids[14:24], tspace.texts[14:24])
+    assert idx.num_real == 24
+    assert idx.emb.sharding.spec[0] == "model"  # sharding survived add()
+    ref_idx = from_embeddings(full, tspace.ids[:24], tspace.texts[:24])
+    ref_eng = QueryEngine(
+        params, model_cfg, vocab, ref_idx, max_seq_length=L, k=5
+    )
+    queries = [tspace.texts[21], tspace.texts[23], "gudi foso"]
+    for a, b in zip(eng.query(queries), ref_eng.query(queries)):
+        assert [h["targetId"] for h in a] == [h["targetId"] for h in b]

@@ -40,6 +40,15 @@ def test_parity_random_unicode(pair):
         assert native.encode(s) == vocab.encode(s), repr(s)
 
 
+def test_parity_worst_case_escape_blowup(pair):
+    """Escaping can emit ~6 ids per input BYTE (1-byte codepoints 100-127
+    outside the alphabet → "\\NNN;" + trailing "_"); the buffer-size/retry
+    logic must never truncate (ADVICE.md r1: it used to, silently)."""
+    vocab, native = pair
+    for s in ("{" * 200, "~{}" * 100, "e{" * 150, "{"):
+        assert native.encode(s) == vocab.encode(s), repr(s[:20])
+
+
 def test_batch_convention_matches_corpus(pair):
     vocab, native = pair
     texts = _demo_lines()[:8] + ["", "x" * 100]

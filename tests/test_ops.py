@@ -77,6 +77,25 @@ def test_fused_topk_num_real_traced_interpret():
     np.testing.assert_array_equal(np.asarray(idx), eidx)
 
 
+@pytest.mark.parametrize("variant", ["exact", "packed"])
+def test_fused_topk_fully_padded_shard_interpret(variant):
+    """num_real=0 (a fully-padded shard — possible with from_embeddings
+    capacity headroom): results must be FINITE large-negative values with
+    in-range indices, so the cross-shard merge can never crash on a
+    decoded-NaN key or an ids[2**30] lookup (ADVICE.md r1)."""
+    b, d, t = 8, 16, 512
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
+    vals, idx = fused_score_topk(
+        q, emb, 5, 0, block_t=256, interpret=True, variant=variant
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert np.isfinite(vals).all()
+    assert (vals < -1e37).all()  # always loses a merge vs any real score
+    assert ((idx >= 0) & (idx < t)).all()
+
+
 def test_pick_block_t():
     # packed fp32 at B=256 exceeds the VMEM model at 4096 → 2048
     assert pick_block_t(4096 * 305, 256, 128, 4) == 2048
