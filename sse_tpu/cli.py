@@ -61,13 +61,29 @@ def _build_cfg(args) -> "TaskConfig":
 def cmd_demo_data(args) -> int:
     from sse_tpu.data import synthetic
 
-    train, ev, targets = synthetic.make_corpus(
-        task=args.task,
-        num_targets=args.num_targets,
-        train_per_target=args.train_per_target,
-        eval_per_target=args.eval_per_target,
-        seed=args.seed,
-    )
+    def val(name, easy_default, hard_default):
+        v = getattr(args, name, None)
+        return v if v is not None else (
+            hard_default if args.profile == "hard" else easy_default
+        )
+
+    if args.profile == "hard":
+        train, ev, targets = synthetic.make_hard_corpus(
+            task=args.task,
+            num_targets=val("num_targets", 64, 2048),
+            cluster_size=args.cluster_size,
+            train_per_target=val("train_per_target", 24, 8),
+            eval_per_target=val("eval_per_target", 4, 2),
+            seed=args.seed,
+        )
+    else:
+        train, ev, targets = synthetic.make_corpus(
+            task=args.task,
+            num_targets=val("num_targets", 64, 2048),
+            train_per_target=val("train_per_target", 24, 8),
+            eval_per_target=val("eval_per_target", 4, 2),
+            seed=args.seed,
+        )
     synthetic.write_corpus(args.out_dir, train, ev, targets)
     print(
         f"[sse] wrote {len(train)} TrainPairs, {len(ev)} EvalPairs, "
@@ -222,6 +238,33 @@ def _apply_platform_env() -> None:
             jax.config.update("jax_num_cpu_devices", int(n))
 
 
+def _add_dist_flags(p) -> None:
+    """Multi-host bring-up (SURVEY.md §2.3): one process per host. On TPU
+    pods with standard env vars all three auto-detect — pass
+    --num_processes alone to opt in. Env fallbacks: SSE_COORDINATOR,
+    SSE_NUM_PROCESSES, SSE_PROCESS_ID."""
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (process 0's)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
+def _maybe_init_distributed(args) -> None:
+    coord = getattr(args, "coordinator", None) or os.environ.get(
+        "SSE_COORDINATOR"
+    )
+    nproc = getattr(args, "num_processes", None)
+    if nproc is None and os.environ.get("SSE_NUM_PROCESSES"):
+        nproc = int(os.environ["SSE_NUM_PROCESSES"])
+    pid = getattr(args, "process_id", None)
+    if pid is None and os.environ.get("SSE_PROCESS_ID"):
+        pid = int(os.environ["SSE_PROCESS_ID"])
+    if (nproc and nproc > 1) or coord:
+        from sse_tpu.parallel import distributed
+
+        distributed.initialize(coord, nproc, pid)
+
+
 def main(argv=None) -> int:
     _apply_platform_env()
     parser = argparse.ArgumentParser(prog="sse_tpu")
@@ -234,10 +277,19 @@ def main(argv=None) -> int:
         choices=["classification", "ranking", "crosslingual", "qna"],
     )
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--num_targets", type=int, default=64)
-    p.add_argument("--train_per_target", type=int, default=24)
-    p.add_argument("--eval_per_target", type=int, default=4)
+    p.add_argument("--num_targets", type=int, default=None)
+    p.add_argument("--train_per_target", type=int, default=None)
+    p.add_argument("--eval_per_target", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--profile",
+        default="easy",
+        choices=["easy", "hard"],
+        help="easy: r1 demo corpora (saturate at recall 1.0); hard: the "
+        "discriminative benchmark (confusable clusters, Zipf words, "
+        "multi-label eval rows — recall@1 ceiling < 0.9)",
+    )
+    p.add_argument("--cluster_size", type=int, default=16)
     p.set_defaults(fn=cmd_demo_data)
 
     p = sub.add_parser("train", help="train a model (reference: sse_main train)")
@@ -249,6 +301,7 @@ def main(argv=None) -> int:
         choices=["classification", "ranking", "crosslingual", "qna"],
     )
     _add_task_overrides(p)
+    _add_dist_flags(p)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("index", help="build the target index (reference: sse_index)")
@@ -301,6 +354,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    _maybe_init_distributed(args)  # before first backend touch
     return args.fn(args)
 
 

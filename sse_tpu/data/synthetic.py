@@ -97,6 +97,135 @@ def make_corpus(
     return train_pairs, eval_pairs, target_rows
 
 
+def make_hard_corpus(
+    task: str = "classification",
+    num_targets: int = 2048,
+    cluster_size: int = 16,
+    train_per_target: int = 8,
+    eval_per_target: int = 2,
+    core_words: int = 6,
+    distinct_words: int = 3,
+    src_words: int = 6,
+    p_distinct: float = 0.3,
+    noise_words: int = 2,
+    multi_label_frac: float = 0.15,
+    seed: int = 0,
+) -> Tuple[List[Tuple[str, List[str]]], List[Tuple[str, List[str]]], List[Tuple[str, str]]]:
+    """The DISCRIMINATIVE benchmark profile (round-2 instrument).
+
+    The easy profile (make_corpus: disjoint word pools, 1 noise word)
+    saturates every stock preset at recall 1.000, which verifies nothing.
+    This profile is tuned so good models land recall@1 ≈ 0.6–0.9 and
+    quality differences (margin, bidirectional, tower choice) are visible:
+
+      * **confusable clusters** — targets come in clusters of
+        ``cluster_size`` sharing a core word pool; only ``distinct_words``
+        per-target words separate siblings. A source word is distinctive
+        with probability ``p_distinct``; a source that happens to draw
+        zero distinctive words is IRREDUCIBLY ambiguous within its
+        cluster (information-theoretic recall@1 ceiling:
+        1-(1-p_distinct)^src_words + rest/cluster_size ≈ 0.89 at the
+        defaults — no model can hit 1.000).
+      * **Zipfian word frequencies** inside core pools and the noise bank
+        (weight ∝ 1/rank), so frequent words are weak evidence.
+      * **more noise** — ``noise_words`` per source from a 400-word bank.
+      * **multi-label eval rows** — a ``multi_label_frac`` fraction of
+        eval sources use only cluster-core words and carry BOTH the
+        target and a sibling as correct labels (the reference's
+        multi-id TSV convention; recall counts ANY hit).
+
+    Same return shape as make_corpus.
+    """
+    if task not in ("classification", "ranking", "crosslingual", "qna"):
+        raise ValueError(f"unknown task {task!r}")
+    if num_targets % cluster_size:
+        raise ValueError("num_targets must be a multiple of cluster_size")
+    rng = random.Random(seed)
+    n_clusters = num_targets // cluster_size
+    # distinct banks can't collide: word LENGTH differs per bank
+    core_bank = _word_bank(rng, n_clusters * core_words, syllables=2)
+    dist_bank = _word_bank(rng, num_targets * distinct_words, syllables=3)
+    noise_bank = _word_bank(rng, 400, syllables=4)
+    noise_w = [1.0 / (i + 1) for i in range(len(noise_bank))]  # Zipf
+    core_w = [1.0 / (i + 1) for i in range(core_words)]
+
+    if task == "crosslingual":
+        src_side = _word_bank(rng, len(core_bank) + len(dist_bank), syllables=5)
+        translate: Dict[str, str] = dict(
+            zip(core_bank + dist_bank, src_side)
+        )
+    else:
+        translate = {w: w for w in core_bank + dist_bank}
+
+    cores = [
+        core_bank[c * core_words : (c + 1) * core_words]
+        for c in range(n_clusters)
+    ]
+    distincts = [
+        dist_bank[i * distinct_words : (i + 1) * distinct_words]
+        for i in range(num_targets)
+    ]
+
+    target_rows: List[Tuple[str, str]] = []
+    for i in range(num_targets):
+        core = cores[i // cluster_size]
+        if task == "classification":  # category-name-like: short
+            text = " ".join(distincts[i] + core[:2])
+        elif task == "qna":  # answer-passage-like: long
+            text = " ".join(core + distincts[i] + rng.sample(noise_bank, 3))
+        else:
+            text = " ".join(core + distincts[i])
+        target_rows.append((f"t{i:05d}", text))
+
+    def draw_source(i: int, r: random.Random, core_only: bool) -> str:
+        core = cores[i // cluster_size]
+        words = []
+        for _ in range(src_words):
+            if not core_only and r.random() < p_distinct:
+                words.append(translate[r.choice(distincts[i])])
+            else:
+                words.append(translate[r.choices(core, weights=core_w)[0]])
+        words += r.choices(noise_bank, weights=noise_w, k=noise_words)
+        r.shuffle(words)
+        return " ".join(words)
+
+    def sample(count: int, r: random.Random, multi: float):
+        pairs = []
+        for i in range(num_targets):
+            for _ in range(count):
+                if r.random() < multi and cluster_size > 1:
+                    # ambiguous-by-construction row: core words only, two
+                    # siblings both count as correct
+                    c = i // cluster_size
+                    sib = r.choice(
+                        [
+                            j
+                            for j in range(
+                                c * cluster_size, (c + 1) * cluster_size
+                            )
+                            if j != i
+                        ]
+                    )
+                    pairs.append(
+                        (
+                            draw_source(i, r, core_only=True),
+                            [f"t{i:05d}", f"t{sib:05d}"],
+                        )
+                    )
+                else:
+                    pairs.append(
+                        (draw_source(i, r, core_only=False), [f"t{i:05d}"])
+                    )
+        r.shuffle(pairs)
+        return pairs
+
+    train_pairs = sample(train_per_target, random.Random(seed + 1), 0.0)
+    eval_pairs = sample(
+        eval_per_target, random.Random(seed + 2), multi_label_frac
+    )
+    return train_pairs, eval_pairs, target_rows
+
+
 def write_corpus(
     out_dir: str,
     train_pairs: Sequence[Tuple[str, List[str]]],

@@ -188,12 +188,48 @@ def train(
     state: Optional[TrainState] = None,
     process_index: int = 0,
     process_count: int = 1,
+    mesh=None,  # Optional[jax.sharding.Mesh]; REQUIRED when process_count>1
 ) -> TrainState:
-    """The reference's sse_main.train() analog (SURVEY.md §3.1)."""
+    """The reference's sse_main.train() analog (SURVEY.md §3.1).
+
+    Multi-host (SURVEY.md §2.3): with ``process_count > 1`` each process
+    feeds its per-host slice of the global batch (BatchIterator slices
+    deterministically) and the slices are assembled into GLOBAL arrays
+    over ``mesh`` — the jitted step is then one SPMD program across all
+    hosts, grads reduced over ICI/DCN by XLA. Identical numerics to the
+    single-process run on the same global batch (asserted by
+    tests/test_multiprocess.py).
+    """
     if state is None:
         state = init_train_state(
             jax.random.PRNGKey(cfg.seed), model_cfg, cfg
         )
+    multi = process_count > 1
+    if multi and mesh is None:
+        raise ValueError("multi-process training requires a mesh")
+    if multi:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as _P
+
+        def _batch_global(x):
+            # per-process slice → one global array, rows over 'data'
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, _P("data")
+            )
+
+        def _replicated_global(x):
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, _P()
+            )
+
+    elif mesh is not None:
+        from sse_tpu.parallel import batch_sharding, replicated
+
+        _bsh, _rep = batch_sharding(mesh), replicated(mesh)
+        _batch_global = lambda x: jax.device_put(jnp.asarray(x), _bsh)
+        _replicated_global = lambda x: jax.device_put(jnp.asarray(x), _rep)
+    else:
+        _batch_global = _replicated_global = jnp.asarray
     step_fn = make_train_step(model_cfg, cfg)
     it = BatchIterator(
         train_pairs,
@@ -202,8 +238,8 @@ def train(
         process_index=process_index,
         process_count=process_count,
     )
-    tgt_tokens = jnp.asarray(target_space.tokens)
-    tgt_lens = jnp.asarray(target_space.lengths)
+    tgt_tokens = _replicated_global(target_space.tokens)
+    tgt_lens = _replicated_global(target_space.lengths)
 
     # hard-negative mining: periodically refreshed target-embedding cache
     mine = cfg.loss.num_hard_negatives > 0 and cfg.loss.kind != "full"
@@ -228,25 +264,32 @@ def train(
     best = -float("inf")
     window_losses = []
     t0 = time.perf_counter()
+    # Host-side step counter: the device `state.step` exists for
+    # checkpoint/restore and the loss PRNG fold-in, but reading it back
+    # every iteration (`int(state.step)`) would force a device round-trip
+    # per step and defeat async dispatch — the loop would run at host
+    # latency, not device throughput. The counter is deterministic
+    # (one increment per step_fn call), so the host shadow is exact; the
+    # only per-window sync is the loss-mean readback at checkpoints.
+    step = int(state.step)  # ONE sync, before the hot loop
     # Resume semantics: a restored state's step count implies how many
     # epochs already ran (deterministic iterator), so training continues
     # toward the SAME max_epochs target instead of adding max_epochs more.
-    start_epoch = min(int(state.step) // max(it.steps_per_epoch, 1),
-                      cfg.max_epochs)
+    start_epoch = min(step // max(it.steps_per_epoch, 1), cfg.max_epochs)
     for epoch in range(start_epoch, cfg.max_epochs):
         for batch in it.epoch_batches(epoch):
             state, metrics = step_fn(
                 state,
-                jnp.asarray(batch.src),
-                jnp.asarray(batch.src_len),
-                jnp.asarray(batch.labels),
-                jnp.asarray(batch.weight),
+                _batch_global(batch.src),
+                _batch_global(batch.src_len),
+                _batch_global(batch.labels),
+                _batch_global(batch.weight),
                 tgt_tokens,
                 tgt_lens,
                 tgt_emb_cache=tgt_emb_cache,
             )
             window_losses.append(metrics["loss"])
-            step = int(state.step)
+            step += 1
             if mine and step % cfg.hard_negative_refresh == 0:
                 tgt_emb_cache = encode_cache(state.params)
             if step % cfg.steps_per_checkpoint == 0:

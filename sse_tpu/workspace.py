@@ -154,10 +154,42 @@ class Workspace:
         if evaluator is not None:
             mgr.close()
             mgr = CheckpointManager(self.ckpt_dir, best_metric="recall@1")
-        writer = MetricWriter(self.metrics_path)
+        # multi-host: only process 0 writes metrics; every process saves
+        # checkpoints (Orbax is a collective) and computes eval (identical
+        # replicated math — cheap next to cross-host coordination).
+        p0 = jax.process_index() == 0
+        if jax.process_count() > 1:
+            # Checkpoint saves are COLLECTIVE (Orbax barriers across
+            # processes): diverging model_dirs would deadlock at the first
+            # save. Fail fast instead.
+            from jax.experimental import multihost_utils
+            import zlib
+
+            digest = np.asarray(
+                [zlib.crc32(os.path.abspath(self.model_dir).encode())],
+                np.uint32,
+            )
+            multihost_utils.assert_equal(
+                digest, "model_dir must be the SAME (shared) path on every "
+                "process: checkpointing is a cross-process collective",
+            )
+        writer = MetricWriter(self.metrics_path if p0 else os.devnull)
         mesh = self.mesh()
         if mesh is not None:
-            state = jax.device_put(state, param_shardings(mesh, state))
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                shardings = param_shardings(mesh, state)
+                state = jax.tree.map(
+                    lambda x, s: multihost_utils
+                    .host_local_array_to_global_array(
+                        np.asarray(x), mesh, s.spec
+                    ),
+                    state,
+                    shardings,
+                )
+            else:
+                state = jax.device_put(state, param_shardings(mesh, state))
         state = train_loop(
             model_cfg,
             self.cfg.train_config(),
@@ -168,8 +200,11 @@ class Workspace:
                 s, step, metrics={k: v for k, v in rec.items()
                                   if isinstance(v, (int, float))}
             ),
-            log_fn=writer.write,
+            log_fn=writer.write if p0 else None,
             state=state,  # resume from the restored checkpoint
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            mesh=mesh,
         )
         final = evaluator.evaluate(state.params) if evaluator else {}
         mgr.save(state, int(state.step), metrics=final or None)

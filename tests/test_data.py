@@ -154,6 +154,40 @@ def test_synthetic_tasks(task):
         assert src_words and not (src_words & tgt_words)
 
 
+def test_hard_corpus_structure():
+    """The discriminative profile (VERDICT r1 item 1): confusable
+    clusters, multi-label eval rows, and an oracle recall@1 ceiling
+    STRICTLY below 1.0 (so a saturated metric means a bug, not success)."""
+    tr, ev, tg = synthetic.make_hard_corpus(
+        task="ranking",
+        num_targets=128,
+        cluster_size=8,
+        train_per_target=4,
+        eval_per_target=4,
+        seed=5,
+    )
+    assert len(tg) == 128 and len(tr) == 512 and len(ev) == 512
+    # multi-label rows exist and label pairs are same-cluster siblings
+    multi = [(s, ls) for s, ls in ev if len(ls) > 1]
+    assert 0.05 * len(ev) < len(multi) < 0.3 * len(ev)
+    for _, ls in multi:
+        rows = [int(l[1:]) for l in ls]
+        assert rows[0] // 8 == rows[1] // 8 and rows[0] != rows[1]
+    # cluster siblings share core words (confusability is real)
+    texts = {tid: set(txt.split()) for tid, txt in tg}
+    a, b = texts["t00000"], texts["t00001"]
+    assert len(a & b) >= 4
+    # lexical-overlap oracle cannot saturate recall@1 (irreducible rows)
+    hits = 0
+    ids = [tid for tid, _ in tg]
+    for src, labels in ev:
+        sw = src.split()
+        best = max(ids, key=lambda t: (sum(w in texts[t] for w in sw),
+                                       -int(t[1:])))
+        hits += best in labels
+    assert 0.45 < hits / len(ev) < 0.97
+
+
 def test_multi_label_pairs_and_recall(tmp_path):
     """Reference semantics: a pair row may list several correct target ids
     ("t1,t2" or "t1|t2"); recall@k counts a hit if ANY appears."""
