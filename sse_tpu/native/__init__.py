@@ -12,6 +12,7 @@ bit-identical in tests/test_native.py.
 from sse_tpu.native.binding import (
     NativeSubwordEncoder,
     native_available,
+    native_build_subtokens,
     native_token_counts,
     build_library,
 )
@@ -19,6 +20,7 @@ from sse_tpu.native.binding import (
 __all__ = [
     "NativeSubwordEncoder",
     "native_available",
+    "native_build_subtokens",
     "native_token_counts",
     "build_library",
 ]

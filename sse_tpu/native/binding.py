@@ -33,7 +33,8 @@ def build_library(quiet: bool = True) -> Optional[str]:
     if os.path.exists(path):
         return path
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", path,
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        _SRC, "-o", path,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -100,6 +101,25 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sse_counter_dump.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sse_vocab_build.restype = ctypes.c_void_p
+        lib.sse_vocab_build.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.sse_vocab_destroy.argtypes = [ctypes.c_void_p]
+        lib.sse_vocab_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sse_vocab_dump.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _LIB = lib
         return _LIB
@@ -180,6 +200,58 @@ def native_token_counts(lines) -> Optional[dict]:
         return out
     finally:
         lib.sse_counter_destroy(handle)
+
+
+def native_build_subtokens(
+    token_counts: dict,
+    min_count: int,
+    num_iterations: int = 4,
+    max_subtoken_length: Optional[int] = None,
+) -> Optional[List[str]]:
+    """C++ build_from_token_counts — the vocab builder's O(len²) candidate
+    loop (SURVEY.md §3.5's one-time CPU hot loop; the r1 known gap).
+    Returns the ordered subtoken list (reserved ids excluded), bit-identical
+    to the Python builder, or None when no toolchain is available."""
+    lib = _load()
+    if lib is None:
+        return None
+    toks = list(token_counts.keys())
+    raws = [t.encode("utf-8") for t in toks]
+    blob = b"".join(raws)
+    offsets = np.zeros((len(raws) + 1,), dtype=np.int64)
+    np.cumsum([len(r) for r in raws], out=offsets[1:])
+    counts = np.asarray([token_counts[t] for t in toks], dtype=np.int64)
+    handle = lib.sse_vocab_build(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(raws),
+        int(min_count),
+        int(num_iterations),
+        int(max_subtoken_length or 0),
+    )
+    if not handle:
+        return None
+    try:
+        n = ctypes.c_int64()
+        total = ctypes.c_int64()
+        lib.sse_vocab_sizes(handle, ctypes.byref(n), ctypes.byref(total))
+        blob_out = ctypes.create_string_buffer(max(total.value, 1))
+        lens = np.zeros((max(n.value, 1),), dtype=np.int32)
+        lib.sse_vocab_dump(
+            handle, blob_out,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        out: List[str] = []
+        pos = 0
+        raw = blob_out.raw
+        for i in range(n.value):
+            ln = int(lens[i])
+            out.append(raw[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        return out
+    finally:
+        lib.sse_vocab_destroy(handle)
 
 
 class NativeSubwordEncoder:

@@ -205,10 +205,30 @@ class SubwordVocab:
         min_count: int,
         num_iterations: int = 4,
         max_subtoken_length: Optional[int] = None,
+        use_native: bool = True,
     ) -> "SubwordVocab":
         """EM-style construction: segment with current vocab, count candidate
         substrings, keep those with count >= min_count (longest first,
-        subtracting prefix counts), repeat."""
+        subtracting prefix counts), repeat.
+
+        The candidate loop is O(len²) per token — the one-time CPU cost
+        that gates every new corpus — so a bit-identical C++ implementation
+        (sse_tpu/native/encoder.cpp::BuildVocab) runs by default; this
+        Python body is the reference implementation and the no-toolchain
+        fallback (equality asserted in tests/test_native.py and pinned by
+        the golden vocab files)."""
+        if use_native:
+            try:
+                from sse_tpu.native import native_build_subtokens
+
+                subs = native_build_subtokens(
+                    token_counts, min_count, num_iterations,
+                    max_subtoken_length,
+                )
+                if subs is not None:
+                    return cls(subs)
+            except Exception:
+                pass  # fall through to the pure-Python builder
         alphabet = frozenset(
             ch for tok in token_counts for ch in tok
         ) | _ESCAPE_CHARS

@@ -75,6 +75,47 @@ def test_speedup(pair):
     assert nat_dt < py_dt, (py_dt, nat_dt)
 
 
+def test_native_vocab_builder_parity():
+    """C++ build_from_token_counts must be BIT-identical to the Python
+    reference builder: same subtokens, same order, at several min_counts,
+    with and without max_subtoken_length, including escapes/unicode."""
+    counts = token_counts_from_lines(
+        _demo_lines()
+        + SAMPLES
+        + ["under_score te\\xt 北京 déjà-vu 42 foo_bar_baz"] * 3
+    )
+    for mc in (1, 2, 5, 20):
+        for msl in (None, 4):
+            py = SubwordVocab.build_from_token_counts(
+                counts, mc, max_subtoken_length=msl, use_native=False
+            )
+            nat = SubwordVocab.build_from_token_counts(
+                counts, mc, max_subtoken_length=msl, use_native=True
+            )
+            assert [
+                nat.id_to_subtoken(i) for i in range(nat.vocab_size)
+            ] == [
+                py.id_to_subtoken(i) for i in range(py.vocab_size)
+            ], f"min_count={mc} max_subtoken_length={msl}"
+
+
+def test_native_vocab_build_to_target_size_parity():
+    """The binary search through the native builder lands on the exact
+    vocab the pure-Python search produces (and the golden files pin)."""
+    from sse_tpu.native import native_build_subtokens
+
+    counts = token_counts_from_lines(_demo_lines())
+    direct = native_build_subtokens(counts, 2)
+    assert direct is not None
+    py_direct = SubwordVocab.build_from_token_counts(
+        counts, 2, use_native=False
+    )
+    assert direct == [
+        py_direct.id_to_subtoken(i)
+        for i in range(2, py_direct.vocab_size)
+    ]
+
+
 def test_native_token_counts_parity():
     from sse_tpu.native import native_token_counts
     from tests.test_text import SAMPLES
