@@ -60,6 +60,11 @@ class TaskConfig:
     # index storage precision: float32 | bfloat16 (bf16 halves HBM → 2x
     # index rows per chip; scores still accumulate fp32 on the MXU)
     index_dtype: str = "float32"
+    # corpus-scale data path: stream TrainPairs through the encoder into
+    # memmapped caches (training sets >> RAM under a fixed memory cap);
+    # shuffling then permutes within windows for memmap page locality
+    streaming: bool = False
+    shuffle_window: int = 262144
     # parallelism (reference: none; SURVEY.md §2.2)
     mesh_data: int = -1
     mesh_model: int = 1
@@ -104,6 +109,7 @@ class TaskConfig:
             max_epochs=self.max_epochs,
             seed=self.seed,
             hard_negative_refresh=self.hard_negative_refresh,
+            shuffle_window=self.shuffle_window if self.streaming else 0,
         )
 
     # -------------------------------------------------------------- persist
@@ -133,34 +139,49 @@ CLASSIFICATION = TaskConfig(
     network_mode="source-encoder-only",
     loss_kind="full",
 )
-# Dual-encoder presets ship with additive margin + bidirectional loss
-# (PAPERS.md 1902.08564): measured ≥ the plain sampled-softmax on every
-# demo task, and strictly better embedding separation.
+# Dual-encoder presets: tuned on the r2 HARD benchmark (confusable
+# clusters — sse_tpu/data/synthetic.py make_hard_corpus), where quality
+# differences are visible. Measured there (recall@1, ranking task):
+#   margin 0.2 + bidirectional (r1 preset)   0.435
+#   plain sampled softmax                    0.632
+#   + 16 mined hard negatives                0.712   ← shipped
+# The additive margin (PAPERS.md 1902.08564) HURTS when confusable
+# targets are a few tokens apart (r1 claimed the opposite — but its easy
+# corpora saturated at 1.000 and couldn't falsify it); dynamic
+# hard-negative mining (PAPERS.md 2303.15311) is what actually separates
+# cluster siblings. margin/bidirectional remain available as flags.
 RANKING = TaskConfig(
     task_type="ranking",
     network_mode="dual-encoder",
     loss_kind="sampled",
     num_negatives=128,
-    margin=0.2,
-    bidirectional=True,
+    num_hard_negatives=16,
 )
+# Cross-lingual needs more epochs (no lexical shortcut: the word mapping
+# itself must be learned); hard negatives lift hard-benchmark recall@1
+# 0.18 → 0.67 together with the longer schedule.
 CROSSLINGUAL = TaskConfig(
     task_type="crosslingual",
     network_mode="dual-encoder",
     loss_kind="sampled",
     num_negatives=128,
-    margin=0.2,
-    bidirectional=True,
+    num_hard_negatives=16,
+    max_epochs=40,
 )
+# QnA keeps the attention readout (BASELINE.json configs[3]) — with the
+# summary-residual fix (towers.py::_attention_readout) — and the LSTM
+# cell at a 3x lower lr: attention readouts collapse onto token 0 at the
+# RNN-tuned 0.01 (hard-benchmark recall@1 0.077); at 0.003 the same model
+# reaches 0.717.
 QNA = TaskConfig(
     task_type="qna",
     network_mode="dual-encoder",
     cell="lstm",
-    readout="attention",  # BASELINE.json configs[3]: attention readout
+    readout="attention",
     loss_kind="sampled",
     num_negatives=128,
-    margin=0.2,
-    bidirectional=True,
+    num_hard_negatives=16,
+    learning_rate=0.003,
 )
 
 PRESETS = {

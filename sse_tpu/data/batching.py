@@ -65,6 +65,7 @@ class BatchIterator:
         process_index: int = 0,
         process_count: int = 1,
         drop_remainder: bool = False,
+        shuffle_window: Optional[int] = None,
     ):
         if global_batch_size % process_count:
             raise ValueError("global_batch_size must divide process_count")
@@ -75,6 +76,12 @@ class BatchIterator:
         self._pidx = process_index
         self._pcount = process_count
         self._drop_remainder = drop_remainder
+        # Windowed shuffle for memmapped (streaming) corpora: permute
+        # window ORDER and rows WITHIN each window instead of the whole
+        # corpus, so a batch's gathers stay within one window's pages
+        # (full-corpus random access would fault across the entire file).
+        # Every example still appears exactly once per epoch.
+        self._shuffle_window = shuffle_window
         self.epoch = 0  # checkpointable (SURVEY.md §5 checkpoint row)
 
     @property
@@ -94,7 +101,18 @@ class BatchIterator:
         if epoch is None:
             epoch = self.epoch
         rng = np.random.default_rng(np.uint64(self._seed * 1_000_003 + epoch))
-        perm = rng.permutation(self._pairs.num_examples)
+        n = self._pairs.num_examples
+        w = self._shuffle_window
+        if w and n > w:
+            n_windows = -(-n // w)
+            parts = []
+            for wi in rng.permutation(n_windows):
+                lo = int(wi) * w
+                hi = min(n, lo + w)
+                parts.append(lo + rng.permutation(hi - lo))
+            perm = np.concatenate(parts)
+        else:
+            perm = rng.permutation(n)
         n = len(perm)
         steps = self.steps_per_epoch
         for s in range(steps):

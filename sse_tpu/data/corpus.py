@@ -125,6 +125,48 @@ def build_vocab(
     return vocab
 
 
+def build_vocab_streaming(
+    vocab_size: int,
+    train_tsv_path: Optional[str],
+    target_rows: Sequence[Tuple[str, str]],
+    cache_path: Optional[str] = None,
+    max_subtoken_length: Optional[int] = 20,
+) -> SubwordVocab:
+    """build_vocab for corpora >> RAM: token counting streams the
+    TrainPairs file line-by-line (never materializing the rows), then the
+    (native) builder runs on the count dict — whose size is bounded by the
+    UNIQUE token count, not the corpus size."""
+    if cache_path and os.path.exists(cache_path):
+        return SubwordVocab.load(cache_path)
+
+    def lines():
+        if train_tsv_path and os.path.exists(train_tsv_path):
+            with open(train_tsv_path, "r", encoding="utf-8") as f:
+                for line in f:
+                    tab = line.find("\t")
+                    if tab > 0:
+                        yield line[:tab]
+        for _, txt in target_rows:
+            yield txt
+
+    counts = None
+    try:
+        from sse_tpu.native import native_token_counts
+
+        counts = native_token_counts(lines())
+    except Exception:
+        counts = None
+    if counts is None:
+        counts = token_counts_from_lines(lines())
+    vocab = SubwordVocab.build_to_target_size(
+        vocab_size, counts, max_subtoken_length=max_subtoken_length
+    )
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        vocab.save(cache_path)
+    return vocab
+
+
 def _encode_line(vocab: SubwordVocab, text: str, max_len: int) -> Tuple[np.ndarray, int]:
     ids = vocab.encode(text)[: max_len - 1] + [EOS_ID]
     arr = np.zeros((max_len,), dtype=np.int32)
@@ -201,6 +243,154 @@ def encode_target_space(
         lengths=lengths,
         id_to_row={t: i for i, t in enumerate(ids)},
     )
+
+
+def encode_pairs_streaming(
+    vocab: SubwordVocab,
+    tsv_path: str,
+    target_space: TargetSpace,
+    max_seq_length: int,
+    cache_dir: str,
+    chunk_rows: int = 65536,
+) -> EncodedPairs:
+    """Corpus-scale TrainPairs encoding: stream the TSV in chunks through
+    the (C++-backed) encoder into MEMMAPPED token/label files, so training
+    sets far larger than RAM work under a fixed memory cap — the r1
+    pipeline held everything in Python lists/ndarrays (VERDICT r1 item 6;
+    SURVEY.md §2.1 data-pipeline row at the north star's scale).
+
+    Returns an EncodedPairs whose arrays are read-only ``np.memmap`` views
+    (shape-compatible everywhere an in-memory EncodedPairs is accepted;
+    ``label_sets`` holds first-label singletons — multi-label sets matter
+    only for EVAL pairs, which stay in-memory). The cache is keyed on
+    (vocab content, max_seq_length, TSV size+mtime), so re-runs reopen the
+    memmaps instantly.
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+    st = os.stat(tsv_path)
+    key = hashlib.sha256(
+        repr(
+            (
+                vocab.content_digest(),
+                max_seq_length,
+                st.st_size,
+                int(st.st_mtime_ns),
+                len(target_space.ids),
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    meta_path = os.path.join(cache_dir, "pairs_meta.json")
+    src_path = os.path.join(cache_dir, "pairs_src.npy")
+    len_path = os.path.join(cache_dir, "pairs_len.npy")
+    lab_path = os.path.join(cache_dir, "pairs_lab.npy")
+
+    import json as _json
+
+    if os.path.exists(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = _json.load(f)
+        if meta.get("key") == key:
+            n = meta["n"]
+            src = np.load(src_path, mmap_mode="r")[:n]
+            src_len = np.load(len_path, mmap_mode="r")[:n]
+            labels = np.load(lab_path, mmap_mode="r")[:n]
+            return EncodedPairs(
+                src=src, src_len=src_len, labels=labels,
+                label_sets=_LazySingletonSets(labels),
+            )
+
+    # pass 1: count lines (cheap, no parsing) to size the memmaps
+    total = 0
+    with open(tsv_path, "rb") as f:
+        for _ in f:
+            total += 1
+    from numpy.lib.format import open_memmap
+
+    src_mm = open_memmap(
+        src_path, mode="w+", dtype=np.int32,
+        shape=(max(total, 1), max_seq_length),
+    )
+    len_mm = open_memmap(
+        len_path, mode="w+", dtype=np.int32, shape=(max(total, 1),)
+    )
+    lab_mm = open_memmap(
+        lab_path, mode="w+", dtype=np.int32, shape=(max(total, 1),)
+    )
+
+    n = 0
+    texts: List[str] = []
+    labels: List[int] = []
+
+    def flush():
+        nonlocal n
+        if not texts:
+            return
+        toks, lens = batch_encode(vocab, texts, max_seq_length)
+        src_mm[n : n + len(texts)] = toks
+        len_mm[n : n + len(texts)] = lens
+        lab_mm[n : n + len(texts)] = np.asarray(labels, np.int32)
+        n += len(texts)
+        texts.clear()
+        labels.clear()
+
+    with open(tsv_path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                continue
+            tgt_ids = [
+                t for t in parts[1].replace("|", ",").split(",") if t
+            ]
+            row = next(
+                (
+                    target_space.id_to_row[t]
+                    for t in tgt_ids
+                    if t in target_space.id_to_row
+                ),
+                None,
+            )
+            if row is None:
+                continue  # reference's forgiving unknown-target behavior
+            texts.append(parts[0])
+            labels.append(row)
+            if len(texts) >= chunk_rows:
+                flush()
+    flush()
+    if n == 0:
+        raise ValueError(f"no usable pairs in {tsv_path}")
+    src_mm.flush(); len_mm.flush(); lab_mm.flush()
+    del src_mm, len_mm, lab_mm  # drop write mappings before reopening
+    with open(meta_path, "w", encoding="utf-8") as f:
+        _json.dump({"key": key, "n": n, "total_lines": total}, f)
+    src = np.load(src_path, mmap_mode="r")[:n]
+    src_len = np.load(len_path, mmap_mode="r")[:n]
+    lab = np.load(lab_path, mmap_mode="r")[:n]
+    return EncodedPairs(
+        src=src, src_len=src_len, labels=lab,
+        label_sets=_LazySingletonSets(lab),
+    )
+
+
+class _LazySingletonSets:
+    """label_sets stand-in for streaming pairs: materializing 10M tuples
+    would defeat the memory cap; training never touches label_sets and
+    eval pairs stay in-memory, so index/len access is all that's needed."""
+
+    def __init__(self, labels):
+        self._labels = labels
+
+    def __len__(self):
+        return len(self._labels)
+
+    def __getitem__(self, i):
+        return (int(self._labels[i]),)
+
+    def __iter__(self):
+        for x in self._labels:
+            yield (int(x),)
 
 
 def encode_pairs(

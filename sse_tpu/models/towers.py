@@ -320,10 +320,21 @@ def _masked_mean(states: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.sum(states * valid[:, :, None], axis=1) / denom
 
 
-def _attention_readout(p: Params, states: jax.Array, valid: jax.Array) -> jax.Array:
+def _attention_readout(
+    p: Params, states: jax.Array, valid: jax.Array, residual: jax.Array
+) -> jax.Array:
     """Self-attentive pooling over encoder states (the qna config's
     'attention readout over encoder states' — BASELINE.json configs[3]):
-    score_t = v · tanh(W·h_t + b), masked softmax, weighted sum."""
+    score_t = v · tanh(W·h_t + b), masked softmax, weighted sum, PLUS a
+    pooled-summary residual.
+
+    The residual is a measured fix, not decoration: trained bare on the
+    hard-profile qna corpus the target tower's softmax collapses onto
+    token 0 (alpha=[1,0,...], ‖attn_v‖→4.5), reducing each passage to its
+    first-token prefix state — recall@1 0.077 vs 0.28–0.67 for final-state
+    readouts (r2 sweep). Anchoring the output on the sequence summary
+    removes the collapse incentive and lower-bounds quality at the
+    summary readout's level while attention adds per-token detail."""
     proj = jnp.tanh(
         jnp.dot(
             states.astype(_COMPUTE_DTYPE),
@@ -335,7 +346,7 @@ def _attention_readout(p: Params, states: jax.Array, valid: jax.Array) -> jax.Ar
     scores = jnp.einsum("blh,h->bl", proj, p["attn_v"])
     scores = jnp.where(valid > 0, scores, jnp.finfo(jnp.float32).min)
     alpha = jax.nn.softmax(scores, axis=-1)  # [B, L]
-    return jnp.einsum("bl,blh->bh", alpha, states)
+    return jnp.einsum("bl,blh->bh", alpha, states) + residual
 
 
 # ----------------------------------------------------------------- encode
@@ -378,19 +389,23 @@ def encode_raw(
         elif cfg.readout == "mean":
             feats = _masked_mean(states, valid)
         elif cfg.readout == "attention":
-            feats = _attention_readout(params, states, valid)
+            feats = _attention_readout(params, states, valid, final)
         else:
             raise ValueError(f"unknown readout {cfg.readout!r}")
     elif cfg.cell == "bow":
         # bag-of-subwords: the embeddings ARE the states
         if cfg.readout == "attention":
-            feats = _attention_readout(params, emb, valid)
+            feats = _attention_readout(
+                params, emb, valid, _masked_mean(emb, valid)
+            )
         else:
             feats = _masked_mean(emb, valid)
     else:
         states = _transformer_encode(params, cfg, emb, valid)
         if cfg.readout == "attention":
-            feats = _attention_readout(params, states, valid)
+            feats = _attention_readout(
+                params, states, valid, _masked_mean(states, valid)
+            )
         else:  # transformers default to masked mean pooling
             feats = _masked_mean(states, valid)
 

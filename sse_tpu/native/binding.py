@@ -165,10 +165,15 @@ def native_token_counts(lines) -> Optional[dict]:
         ranges.shape[0],
     )
     try:
+        import itertools
+
         CHUNK = 65536
-        lines = list(lines)
-        for lo in range(0, len(lines), CHUNK):
-            raws = [l.encode("utf-8") for l in lines[lo : lo + CHUNK]]
+        it = iter(lines)  # lazy: `lines` may be a corpus-file generator
+        while True:
+            chunk = list(itertools.islice(it, CHUNK))
+            if not chunk:
+                break
+            raws = [l.encode("utf-8") for l in chunk]
             blob = b"".join(raws)
             offsets = np.zeros((len(raws) + 1,), dtype=np.int64)
             np.cumsum([len(r) for r in raws], out=offsets[1:])

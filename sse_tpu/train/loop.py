@@ -59,6 +59,9 @@ class TrainConfig:
     # hard-negative mining cache refresh cadence (steps); only used when
     # loss.num_hard_negatives > 0 (see sse_tpu/train/losses.py)
     hard_negative_refresh: int = 500
+    # >0: shuffle within windows of this many examples (memmap locality
+    # for streaming corpora); 0 = full-corpus permutation
+    shuffle_window: int = 0
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -237,6 +240,7 @@ def train(
         seed=cfg.seed,
         process_index=process_index,
         process_count=process_count,
+        shuffle_window=cfg.shuffle_window or None,
     )
     tgt_tokens = _replicated_global(target_space.tokens)
     tgt_lens = _replicated_global(target_space.lengths)

@@ -18,6 +18,8 @@ import numpy as np
 
 from sse_tpu.configs import TaskConfig
 from sse_tpu.data.corpus import (
+    build_vocab_streaming,
+    encode_pairs_streaming,
     EncodedPairs,
     TargetSpace,
     build_vocab,
@@ -88,25 +90,48 @@ class Workspace:
         eval_path = os.path.join(data_dir, "EvalPairs")
         target_path = os.path.join(data_dir, "targetIDs")
         target_rows = read_targets_tsv(target_path)
-        train_rows = read_pairs_tsv(train_path) if os.path.exists(train_path) else []
-        vocab = build_vocab(
-            cfg.vocab_size,
-            train_rows,
-            target_rows,
-            self.vocab_path,
-            max_subtoken_length=cfg.max_subtoken_length,
-        )
+        if cfg.streaming:
+            # corpus-scale path: TrainPairs is never materialized in RAM —
+            # vocab counting streams the file, pair encoding streams into
+            # memmaps (VERDICT r1 item 6)
+            train_rows = []
+            vocab = build_vocab_streaming(
+                cfg.vocab_size,
+                train_path if os.path.exists(train_path) else None,
+                target_rows,
+                self.vocab_path,
+                max_subtoken_length=cfg.max_subtoken_length,
+            )
+        else:
+            train_rows = (
+                read_pairs_tsv(train_path)
+                if os.path.exists(train_path)
+                else []
+            )
+            vocab = build_vocab(
+                cfg.vocab_size,
+                train_rows,
+                target_rows,
+                self.vocab_path,
+                max_subtoken_length=cfg.max_subtoken_length,
+            )
         tspace = encode_target_space(
             vocab,
             target_rows,
             cfg.max_seq_length,
             os.path.join(self.model_dir, "targets.npz"),
         )
-        train_pairs = (
-            encode_pairs(vocab, train_rows, tspace, cfg.max_seq_length)
-            if train_rows
-            else None
-        )
+        if cfg.streaming and os.path.exists(train_path):
+            train_pairs = encode_pairs_streaming(
+                vocab, train_path, tspace, cfg.max_seq_length,
+                cache_dir=self.model_dir,
+            )
+        else:
+            train_pairs = (
+                encode_pairs(vocab, train_rows, tspace, cfg.max_seq_length)
+                if train_rows
+                else None
+            )
         eval_pairs = None
         if need_eval and os.path.exists(eval_path):
             eval_pairs = encode_pairs(
