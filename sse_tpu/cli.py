@@ -210,9 +210,17 @@ def cmd_bench(args) -> int:
             k=args.k,
         )
     elif args.kind == "index":
-        result = bench_lib.run_index_bench(batch_size=args.batch or 512)
+        result = bench_lib.run_index_bench(
+            num_targets=args.num_targets,
+            encoding_dim=args.encoding_dim,
+            batch_size=args.batch or 512,
+        )
     else:
-        result = bench_lib.run_train_bench(batch=args.batch or 256)
+        result = bench_lib.run_train_bench(
+            num_targets=args.num_targets,
+            encoding_dim=args.encoding_dim,
+            batch=args.batch or 256,
+        )
     print(json.dumps(result))
     return 0
 

@@ -26,6 +26,9 @@ class TaskConfig:
     network_mode: str = "source-encoder-only"
     # text/data
     vocab_size: int = 8000
+    # subword (SubwordTextEncoder analog) | word (TokenTextEncoder analog:
+    # top-N whole tokens + OOV — the reference's word-level mode)
+    vocab_mode: str = "subword"
     max_seq_length: int = 50
     max_subtoken_length: int = 20  # bounds vocab-builder cost on big corpora
     # towers (reference: embedding_size, src/tgt_cell_size, num_layers,

@@ -22,7 +22,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from sse_tpu.text.subword import EOS_ID, SubwordVocab, token_counts_from_lines
+from sse_tpu.text.subword import (
+    EOS_ID,
+    SubwordVocab,
+    TokenVocab,
+    load_vocab,
+    token_counts_from_lines,
+)
 
 
 @dataclasses.dataclass
@@ -94,14 +100,17 @@ def build_vocab(
     target_rows: Sequence[Tuple[str, str]],
     cache_path: Optional[str] = None,
     max_subtoken_length: Optional[int] = 20,
-) -> SubwordVocab:
-    """Build (or load cached) subword vocab over sources + target texts.
+    vocab_mode: str = "subword",
+):
+    """Build (or load cached) vocab over sources + target texts.
 
     Mirrors the reference's one-time vocab prep (SURVEY.md §3.5) including
     the load-if-cached behavior keyed on the vocab file's existence.
+    ``vocab_mode``: "subword" (SubwordTextEncoder analog, default) or
+    "word" (TokenTextEncoder analog: top-N whole tokens + OOV).
     """
     if cache_path and os.path.exists(cache_path):
-        return SubwordVocab.load(cache_path)
+        return load_vocab(cache_path)
     lines = [src for src, _ in pair_rows] + [txt for _, txt in target_rows]
     counts = None
     try:  # C++ tokenize-and-count fast path (identical counts)
@@ -112,13 +121,16 @@ def build_vocab(
         counts = None
     if counts is None:
         counts = token_counts_from_lines(lines)
-    # max_subtoken_length bounds the builder's O(len²) candidate loop —
-    # essential for web-scale corpora; 20 chars covers natural subwords.
-    vocab = SubwordVocab.build_to_target_size(
-        vocab_size,
-        counts,
-        max_subtoken_length=max_subtoken_length,
-    )
+    if vocab_mode == "word":
+        vocab = TokenVocab.build(counts, vocab_size)
+    else:
+        # max_subtoken_length bounds the builder's O(len²) candidate loop —
+        # essential for web-scale corpora; 20 chars covers natural subwords.
+        vocab = SubwordVocab.build_to_target_size(
+            vocab_size,
+            counts,
+            max_subtoken_length=max_subtoken_length,
+        )
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         vocab.save(cache_path)
@@ -131,13 +143,14 @@ def build_vocab_streaming(
     target_rows: Sequence[Tuple[str, str]],
     cache_path: Optional[str] = None,
     max_subtoken_length: Optional[int] = 20,
-) -> SubwordVocab:
+    vocab_mode: str = "subword",
+):
     """build_vocab for corpora >> RAM: token counting streams the
     TrainPairs file line-by-line (never materializing the rows), then the
     (native) builder runs on the count dict — whose size is bounded by the
     UNIQUE token count, not the corpus size."""
     if cache_path and os.path.exists(cache_path):
-        return SubwordVocab.load(cache_path)
+        return load_vocab(cache_path)
 
     def lines():
         if train_tsv_path and os.path.exists(train_tsv_path):
@@ -158,9 +171,12 @@ def build_vocab_streaming(
         counts = None
     if counts is None:
         counts = token_counts_from_lines(lines())
-    vocab = SubwordVocab.build_to_target_size(
-        vocab_size, counts, max_subtoken_length=max_subtoken_length
-    )
+    if vocab_mode == "word":
+        vocab = TokenVocab.build(counts, vocab_size)
+    else:
+        vocab = SubwordVocab.build_to_target_size(
+            vocab_size, counts, max_subtoken_length=max_subtoken_length
+        )
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         vocab.save(cache_path)
@@ -180,11 +196,13 @@ def batch_encode(
     """Encode many lines → ([N, max_len] tokens, [N] lengths), EOS-padded.
 
     Uses the C++ native encoder (sse_tpu.native — bit-identical, ~50×)
-    when a toolchain is available; pure-Python fallback otherwise."""
+    when a toolchain is available; pure-Python fallback otherwise.
+    Word-level vocabs (TokenVocab) take the Python path — their encode is
+    a dict lookup per token, never the bottleneck."""
     try:
         from sse_tpu.native import NativeSubwordEncoder, native_available
 
-        if native_available():
+        if isinstance(vocab, SubwordVocab) and native_available():
             enc = _native_cache.get(vocab)
             if enc is None:
                 enc = NativeSubwordEncoder(vocab)

@@ -341,6 +341,56 @@ class TokenVocab:
             [self._tokens[i] for i in ids if i >= len(RESERVED_TOKENS)]
         )
 
+    def content_digest(self) -> str:
+        import hashlib
+
+        h = hashlib.sha256(b"token-vocab\x00")
+        for t in self._tokens:
+            h.update(t.encode("utf-8"))
+            h.update(b"\x00")
+        return h.hexdigest()[:16]
+
+    # Same persist format as SubwordVocab (JSON string per line) with a
+    # marker first line so loaders can dispatch on vocab mode.
+    MARKER = '"<token-vocab>"'
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.MARKER + "\n")
+            for t in self._tokens[len(RESERVED_TOKENS) + 1 :]:  # skip OOV
+                f.write(json.dumps(t, ensure_ascii=False) + "\n")
+
+    @classmethod
+    def load(cls, path: str) -> "TokenVocab":
+        toks = []
+        with open(path, "r", encoding="utf-8") as f:
+            first = f.readline().rstrip("\n")
+            if first != cls.MARKER:
+                raise ValueError(f"{path} is not a token vocab")
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    toks.append(json.loads(line))
+        return cls(toks)
+
+    @classmethod
+    def build(cls, token_counts: Dict[str, int], vocab_size: int) -> "TokenVocab":
+        """Top-(vocab_size - 3) tokens by count (ties: lexicographic) —
+        the reference's word-level TokenTextEncoder path (SURVEY.md §2.1),
+        with OOV for everything else."""
+        keep = max(vocab_size - len(RESERVED_TOKENS) - 1, 1)
+        ordered = sorted(token_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return cls([t for t, _ in ordered[:keep]])
+
+
+def load_vocab(path: str):
+    """Dispatch on the saved vocab's mode marker."""
+    with open(path, "r", encoding="utf-8") as f:
+        first = f.readline().rstrip("\n")
+    if first == TokenVocab.MARKER:
+        return TokenVocab.load(path)
+    return SubwordVocab.load(path)
+
 
 def token_counts_from_lines(lines: Iterable[str]) -> Dict[str, int]:
     """Corpus lines → token count dict (input to vocab builders)."""

@@ -101,6 +101,7 @@ class Workspace:
                 target_rows,
                 self.vocab_path,
                 max_subtoken_length=cfg.max_subtoken_length,
+                vocab_mode=cfg.vocab_mode,
             )
         else:
             train_rows = (
@@ -114,6 +115,7 @@ class Workspace:
                 target_rows,
                 self.vocab_path,
                 max_subtoken_length=cfg.max_subtoken_length,
+                vocab_mode=cfg.vocab_mode,
             )
         tspace = encode_target_space(
             vocab,

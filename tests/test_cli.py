@@ -71,3 +71,57 @@ def test_cli_full_flow(tmp_path):
     r = run_cli(["train", "--data_dir", "data", "--model_dir", "fresh"], wd)
     assert r.returncode == 2
     assert "task_type" in r.stderr
+
+    # --- the r1-untested subcommands (VERDICT r1 item 8), reusing the
+    # trained model_dir from above ---
+
+    # eval --use_index: score through the built sharded index
+    r = run_cli(
+        ["eval", "--model_dir", "run", "--data_dir", "data", "--use_index"],
+        wd,
+    )
+    assert r.returncode == 0, r.stderr
+    result = json.loads(
+        r.stdout.strip().splitlines()[-1].replace("[sse] ", "")
+    )
+    assert "recall@1" in result
+
+    # visualize: projector TSV export
+    r = run_cli(
+        ["visualize", "--model_dir", "run", "--out_dir", "viz"], wd
+    )
+    assert r.returncode == 0, r.stderr
+    tensors = (tmp_path / "viz" / "tensors.tsv").read_text().splitlines()
+    meta = (tmp_path / "viz" / "metadata.tsv").read_text().splitlines()
+    assert len(tensors) == 8 and len(meta) == 9  # header + 8 rows
+    assert len(tensors[0].split("\t")) == 16  # encoding_dim
+
+    # bench kinds run end-to-end on the CPU backend and emit JSON
+    for kind, extra in (
+        ("query", ["--num_targets", "512", "--batch", "4",
+                   "--encoding_dim", "16"]),
+        ("index", ["--num_targets", "256", "--batch", "32",
+                   "--encoding_dim", "16"]),
+        ("train", ["--num_targets", "256", "--batch", "8",
+                   "--encoding_dim", "16"]),
+    ):
+        r = run_cli(["bench", "--kind", kind, *extra], wd)
+        assert r.returncode == 0, f"bench {kind}: {r.stderr[-800:]}"
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["value"] > 0, (kind, out)
+
+    # bool-flag overrides parse in both spellings (regression: a4c7685)
+    r = run_cli(
+        [
+            "train", "--task_type", "ranking", "--data_dir", "data",
+            "--model_dir", "boolrun", "--max_epochs", "1",
+            "--batch_size", "16", "--embed_dim", "16", "--hidden", "16",
+            "--encoding_dim", "16", "--vocab_size", "200",
+            "--max_seq_length", "12", "--bidirectional", "False",
+            "--streaming", "true", "--num_hard_negatives", "0",
+        ],
+        wd,
+    )
+    assert r.returncode == 0, r.stderr
+    cfg = json.loads((tmp_path / "boolrun" / "config.json").read_text())
+    assert cfg["bidirectional"] is False and cfg["streaming"] is True

