@@ -103,15 +103,51 @@ def _packed_extract(keys, k):
 
 def _packed_kernel(
     nr_ref, q_ref, emb_ref, vals_ref, idx_ref,
-    rv, ri, keys_scr, bv_scr, bi_scr, done_scr, *, k, block_t,
+    rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
+    *, k, block_t, slots,
 ):
+    """Candidate-HARVEST streaming top-k (r2 roofline redesign, round 2).
+
+    Cost analysis drove this shape: the matmul + one row-max is ~1.5 ms
+    at B=256, T=1.25M (bf16), while r1's kernel spent ~4 VPU element-ops
+    per score on sortable-key packing plus a ~70-instruction merge per
+    block — 3-7x the floor. At B=256 per-row threshold GATING cannot skip
+    blocks (some row updates its top-k in almost every block), so the
+    design makes the per-block candidate harvest O(1) full-width passes:
+
+      * one fp32 row-max (doubles as the skip gate when T/B is large);
+      * one compare+cast pass builds the 0/1 crosser mask; a thin MXU
+        matmul against [ones, col] reduces it to per-row (count,
+        column-sum). When the count is 1 (the overwhelmingly common
+        case after ~5 blocks) the column-sum IS the candidate's column
+        and its value is the row max: it appends straight into a slot
+        buffer — no extraction loop, no merge;
+      * blocks where any row has 2+ candidates (early warm-up, rare
+        ties later) fall back to the packed k-pass extraction;
+      * merges happen only at CONSOLIDATIONS (buffer full / last block):
+        total merge work is O(candidates) ≈ B·k·ln(nblocks), not
+        O(B·nblocks).
+
+    Tie semantics stay lax.top_k-like on the 11-bit-quantized scores:
+    slot order IS (block, col) order, consolidation re-packs slot ids
+    into the low key bits, and consolidated survivors occupy slots
+    [0, k) — equal quantized scores always resolve to the earliest
+    block / lowest column, exactly like a sequential per-block merge."""
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
+    b = rv.shape[0]
+    cap = slots + k  # buffer width; [0, k) holds the consolidated top-k
 
     @pl.when(i == 0)
     def _():
         rv[:] = jnp.full_like(rv, _NEG_SINK)
         ri[:] = jnp.zeros_like(ri)
+        thr_scr[:] = jnp.full_like(thr_scr, NEG)
+        kbuf[:] = jnp.full_like(kbuf, _INT_MIN)
+        gbuf[:] = jnp.zeros_like(gbuf)
+        kbuf[:, :k] = jnp.full((b, k), _NEG_SINK, jnp.int32)
+        sm[0] = k  # next free slot
+        sm[1] = 0  # fallback-extraction done flag
 
     num_real = nr_ref[0]
     scores = jax.lax.dot_general(
@@ -121,79 +157,150 @@ def _packed_kernel(
         preferred_element_type=jnp.float32,
     )  # [B, BT]
     row0 = i * block_t
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    key = _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
-    # padding rows sink to the finite NEG key (unique via the col bits)
-    key = jnp.where(row0 + col < num_real, key, _NEG_SINK)
-    keys_scr[:] = key | (_IDX_MASK - col)
-    # candidate slots must start inert: passes skipped by the early exit
-    # would otherwise leak the PREVIOUS block's candidates into the merge
-    bv_scr[:] = jnp.full_like(bv_scr, _INT_MIN)
-    bi_scr[:] = jnp.zeros_like(bi_scr)
+    # Padding is NOT masked here: index padding rows are zero vectors, so
+    # only blocks past the num_real boundary can contain them, and those
+    # blocks are forced into the fallback path below, which masks
+    # locally. (A branchless mask pass costs ~0.4 ms/batch at B=256,
+    # T=1.25M, and a lax.cond around it costs ~2.5 ms — Mosaic emits a
+    # copy of the [B, BT] scores for the identity arm on every block.)
+    boundary = row0 + block_t > num_real
+    # Gate in sortable-int space with low bits cleared — EXACTLY the
+    # candidates' quantization, so the gate can never skip a key that the
+    # harvest would have kept (equal quantized score → earlier wins).
+    m_key = _to_sortable(jnp.max(scores, axis=1, keepdims=True)) & ~jnp.int32(
+        _IDX_MASK
+    )  # [B, 1]
 
-    # Early-exit extraction, predicated per ROW GROUP: once a group's
-    # remaining block max is ≤ each of its rows' running k-th value, no
-    # remaining element can enter any of its top-ks (the max bounds them
-    # all) — the group's later passes are skipped. Finer groups exit far
-    # sooner than the whole batch would (one straggler row no longer keeps
-    # all 256 rows extracting); late blocks typically pay 1 max-reduce per
-    # group instead of k full passes.
-    b_rows = keys_scr.shape[0]
-    # Fine-grained groups only pay off when blocks far outnumber the
-    # expected per-row extractions (long tails of skippable passes);
-    # measured crossover ≈ 512 blocks on v5e.
-    group = (
-        32
-        if nblocks >= 512 and b_rows % 32 == 0 and b_rows > 32
-        else b_rows
-    )
-    ngroups = b_rows // group
-    for g in range(ngroups):
-        done_scr[g] = 0
-    for g in range(ngroups):
-        lo, hi = g * group, (g + 1) * group
-        thr = rv[lo:hi, k - 1 : k]  # running k-th (pre-block: conservative)
-        for j in range(k):
-
-            @pl.when(done_scr[g] == 0)
-            def _(j=j, g=g, lo=lo, hi=hi, thr=thr):
-                keys = keys_scr[lo:hi]
-                m = jnp.max(keys, axis=1, keepdims=True)  # [group, 1]
-                useless = m <= thr
-                bv_scr[lo:hi, j : j + 1] = jnp.where(
-                    useless, _INT_MIN, m & ~jnp.int32(_IDX_MASK)
+    def consolidate():
+        slotv = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+        keys = kbuf[:] | (_IDX_MASK - slotv)  # stored keys are cleared
+        mv, mslot = _packed_extract(keys, k)
+        gsel = jnp.stack(
+            [
+                jnp.sum(
+                    jnp.where(slotv == mslot[:, j : j + 1], gbuf[:], 0),
+                    axis=1,
                 )
-                bi_scr[lo:hi, j : j + 1] = row0 + (_IDX_MASK - (m & _IDX_MASK))
+                for j in range(k)
+            ],
+            axis=1,
+        )
+        rv[:] = mv
+        ri[:] = gsel
+        # threshold at the TOP of the k-th value's quantization bucket:
+        # a later score inside the same bucket ties the k-th and loses to
+        # the earlier slot anyway, so excluding it is exact — and it cuts
+        # borderline crossers that would otherwise trigger appends or the
+        # multi-candidate fallback
+        thr_scr[:] = _from_sortable(mv[:, k - 1 : k] | jnp.int32(_IDX_MASK))
+        kbuf[:] = jnp.full((b, cap), _INT_MIN, jnp.int32)
+        kbuf[:, :k] = mv
+        gbuf[:, :k] = gsel
+        sm[0] = k
 
-                @pl.when(jnp.all(useless))
-                def _():
-                    done_scr[g] = 1
+    @pl.when(jnp.any(m_key > rv[:, k - 1 : k]))
+    def _():
+        @pl.when(sm[0] > cap - k)  # room for k more appends
+        def _():
+            consolidate()
 
-                @pl.when(jnp.logical_not(jnp.all(useless)))
-                def _():
-                    keys_scr[lo:hi] = jnp.where(keys == m, _INT_MIN, keys)
+        # ---- O(1)-pass candidate harvest: each score > thr contributes
+        # (2^19 + column) to a per-row int sum, so ONE reduction yields
+        # BOTH the candidate count (sum >> 19) and, when the count is 1,
+        # the exact column (sum & (2^19-1)). int32-overflow note: worst
+        # case all 4096 columns qualify → the sum wraps NEGATIVE; the
+        # arithmetic shift then yields a negative "count", routed to the
+        # fallback like any count ≥ 2 — it can never alias to 0 or 1.
+        # (An MXU formulation — 0/1 mask × [ones, col] — measured the
+        # same speed and loses integer exactness to fp32 rounding.)
+        _SHIFT = 19
+        colp = (1 << _SHIFT) + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1
+        )
+        harvest = jnp.sum(
+            jnp.where(scores > thr_scr[:], colp, 0), axis=1, keepdims=True
+        )  # [B, 1]
+        cnt_row = jax.lax.shift_right_arithmetic(harvest, _SHIFT)
+        col_row = harvest & ((1 << _SHIFT) - 1)
+        multi = jnp.logical_or(
+            jnp.any(jnp.logical_or(cnt_row >= 2, cnt_row < 0)),
+            boundary,  # padding rows only exist past the boundary
+        )
 
-    # merge into running top-k: slot bits keep the 2k candidates unique
-    cat_v = jnp.concatenate([rv[:], bv_scr[:]], axis=1)  # [B, 2k]
-    cat_i = jnp.concatenate([ri[:], bi_scr[:]], axis=1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, cat_v.shape, 1)
-    mkey = cat_v | (_IDX_MASK - slot)
-    mv, mslot = _packed_extract(mkey, k)
-    # winner slot → its global row (2k-wide compare+select per slot)
-    gsel = jnp.stack(
-        [
-            jnp.sum(
-                jnp.where(slot == mslot[:, j : j + 1], cat_i, 0), axis=1
-            )
-            for j in range(k)
-        ],
-        axis=1,
-    )
-    rv[:] = mv
-    ri[:] = gsel
+        @pl.when(multi)
+        def _():
+            # warm-up / tie path: full packed extraction, per-row
+            # thresholds, one buffer slot per executed pass
+            colg = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            key = _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
+            keys_scr[:] = key | (_IDX_MASK - colg)
+
+            # local padding mask: only boundary blocks pay it (they are
+            # routed into this fallback by construction)
+            @pl.when(boundary)
+            def _(colg=colg):
+                keys_scr[:] = jnp.where(
+                    row0 + colg < num_real,
+                    keys_scr[:],
+                    _NEG_SINK | (_IDX_MASK - colg),
+                )
+            sm[1] = 0
+            thr = rv[:, k - 1 : k]
+            for j in range(k):
+
+                @pl.when(sm[1] == 0)
+                def _(j=j, thr=thr):
+                    keys = keys_scr[:]
+                    m = jnp.max(keys, axis=1, keepdims=True)  # [B, 1]
+                    useless = m <= thr
+
+                    @pl.when(jnp.all(useless))
+                    def _():
+                        sm[1] = 1
+
+                    @pl.when(jnp.logical_not(jnp.all(useless)))
+                    def _(m=m, useless=useless, keys=keys):
+                        slot = sm[0]
+                        slotv = jax.lax.broadcasted_iota(
+                            jnp.int32, (b, cap), 1
+                        )
+                        hit = slotv == slot
+                        kbuf[:] = jnp.where(
+                            hit,
+                            jnp.where(
+                                useless, _INT_MIN,
+                                m & ~jnp.int32(_IDX_MASK),
+                            ),
+                            kbuf[:],
+                        )
+                        gbuf[:] = jnp.where(
+                            hit,
+                            row0 + (_IDX_MASK - (m & _IDX_MASK)),
+                            gbuf[:],
+                        )
+                        sm[0] = slot + 1
+                        keys_scr[:] = jnp.where(keys == m, _INT_MIN, keys)
+
+        @pl.when(jnp.logical_not(multi))
+        def _():
+            @pl.when(jnp.any(cnt_row == 1))
+            def _():
+                # the common case: at most one crosser per row — its
+                # value is the row max, its column is in the harvest sum
+                slot = sm[0]
+                slotv = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+                hit = slotv == slot
+                kbuf[:] = jnp.where(
+                    hit,
+                    jnp.where(cnt_row == 1, m_key, _INT_MIN),
+                    kbuf[:],
+                )
+                gbuf[:] = jnp.where(hit, row0 + col_row, gbuf[:])
+                sm[0] = slot + 1
 
     @pl.when(i == nblocks - 1)
     def _():
+        consolidate()
         vals_ref[:] = _from_sortable(rv[:])
         idx_ref[:] = ri[:]
 
@@ -246,17 +353,18 @@ def pick_block_t(
     """Largest block_t dividing t_pad that fits the VMEM budget; None if
     no worthwhile block size exists (tiny index → XLA path is fine).
 
-    Footprint: fp32 scores intermediate [B, BT] (+ the packed variant's
-    mutable key scratch, same size) + 2 pipelined emb blocks [BT, D].
-    The 10 MB model budget leaves ~5-6 MB for compiler workspace under the
-    16 MB scoped-vmem limit (validated on v5e). 4096 cap keeps the packed
-    variant's 12 index bits sufficient."""
+    Footprint: fp32 scores intermediate [B, BT] + (packed variant) ONE
+    row-group's mutable key scratch [32, BT] + 2 pipelined emb blocks
+    [BT, D]. The 11 MB model budget leaves ~5 MB for compiler workspace
+    under the 16 MB scoped-vmem limit (validated on v5e). 4096 cap keeps
+    the packed variant's 12 index bits sufficient."""
     budget = 11 * 1024 * 1024
-    score_bufs = 2 if packed else 1
+    group = 32 if (batch % 32 == 0 and batch > 32) else batch
+    key_rows = group if packed else 0
     for bt in (4096, 2048, 1024, 512):
         if t_pad % bt:
             continue
-        if score_bufs * batch * bt * 4 + 2 * bt * d * itemsize <= budget:
+        if (batch + key_rows) * bt * 4 + 2 * bt * d * itemsize <= budget:
             return bt
     return None
 
@@ -270,6 +378,8 @@ def fused_score_topk(
     interpret: bool = False,
     variant: str = "packed",  # packed (fast, 11-bit score quantization in
     #                           the selector) | exact (full-precision keys)
+    group: Optional[int] = None,  # rows per gated extraction group
+    slots: int = 64,  # deferred-merge candidate buffer slots per group
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (values, row indices) of q @ emb.T without materializing the
     score matrix.
@@ -285,11 +395,15 @@ def fused_score_topk(
     if variant == "packed" and block_t > _IDX_MASK + 1:
         raise ValueError(f"packed variant needs block_t <= {_IDX_MASK + 1}")
     nblocks = t_pad // block_t
+    del group  # r2 harvest kernel is full-batch; kept for API compat
+    cap = slots + k
     kernel = functools.partial(
         _packed_kernel if variant == "packed" else _kernel,
         k=k,
         block_t=block_t,
     )
+    if variant == "packed":
+        kernel = functools.partial(kernel, slots=slots)
     q = q.astype(emb.dtype)
     nr = jnp.asarray(num_real, jnp.int32).reshape((1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -310,10 +424,11 @@ def fused_score_topk(
             [
                 pltpu.VMEM((b, k), jnp.int32),  # rv: running packed keys
                 pltpu.VMEM((b, k), jnp.int32),  # ri: running global rows
-                pltpu.VMEM((b, block_t), jnp.int32),  # mutable block keys
-                pltpu.VMEM((b, k), jnp.int32),  # bv: block candidates
-                pltpu.VMEM((b, k), jnp.int32),  # bi: block candidate rows
-                pltpu.SMEM((max(b // 32, 1),), jnp.int32),  # per-group exit flags
+                pltpu.VMEM((b, 1), jnp.float32),  # thr: fp32 running k-th
+                pltpu.VMEM((b, block_t), jnp.int32),  # fallback keys
+                pltpu.VMEM((b, cap), jnp.int32),  # candidate keys buffer
+                pltpu.VMEM((b, cap), jnp.int32),  # candidate global rows
+                pltpu.SMEM((2,), jnp.int32),  # [next slot, fallback done]
             ]
             if variant == "packed"
             else [
@@ -333,6 +448,14 @@ def fused_score_topk(
             flops=2 * b * d * t_pad,
             bytes_accessed=t_pad * d * emb.dtype.itemsize + b * d * 4,
             transcendentals=0,
+        ),
+        # The harvest's fused compare+encode keeps [B, BT]-sized
+        # temporaries on the compiler's stack alongside the scores and the
+        # (rare-path) fallback key scratch; v5e/v5p have 128 MiB of
+        # physical VMEM, so lift the conservative 16 MiB default rather
+        # than shrink block_t (smaller blocks cost real throughput).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(nr, q, emb)

@@ -97,15 +97,17 @@ def test_fused_topk_fully_padded_shard_interpret(variant):
 
 
 def test_pick_block_t():
-    # packed fp32 at B=256 exceeds the VMEM model at 4096 → 2048
-    assert pick_block_t(4096 * 305, 256, 128, 4) == 2048
-    # bf16 index halves the emb-block cost → 4096 fits
+    # packed keys shrank to one row-group [32, BT] in r2, so fp32 at
+    # B=256 now fits the 4096 block (r1 had a full [B, BT] key buffer)
+    assert pick_block_t(4096 * 305, 256, 128, 4) == 4096
     assert pick_block_t(4096 * 305, 256, 128, 2) == 4096
-    # exact variant has no key scratch → fp32 4096 fits
+    # exact variant has no key scratch
     assert pick_block_t(4096 * 305, 256, 128, 4, packed=False) == 4096
     assert pick_block_t(4096 * 305, 64, 128, 4) == 4096
     assert pick_block_t(1000, 8, 128, 4) is None  # no pow2 divisor
     assert pick_block_t(512, 8, 128, 4) == 512
+    # very large batch still falls back to smaller blocks
+    assert pick_block_t(4096 * 16, 1024, 128, 4) == 2048
 
 
 def test_engine_pallas_flag_cpu_interpret():
