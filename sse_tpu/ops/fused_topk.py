@@ -353,18 +353,20 @@ def pick_block_t(
     """Largest block_t dividing t_pad that fits the VMEM budget; None if
     no worthwhile block size exists (tiny index → XLA path is fine).
 
-    Footprint: fp32 scores intermediate [B, BT] + (packed variant) ONE
-    row-group's mutable key scratch [32, BT] + 2 pipelined emb blocks
-    [BT, D]. The 11 MB model budget leaves ~5 MB for compiler workspace
-    under the 16 MB scoped-vmem limit (validated on v5e). 4096 cap keeps
-    the packed variant's 12 index bits sufficient."""
-    budget = 11 * 1024 * 1024
-    group = 32 if (batch % 32 == 0 and batch > 32) else batch
-    key_rows = group if packed else 0
+    Footprint model (r2 harvest kernel, which runs with
+    vmem_limit_bytes=64 MiB — v5e/v5p carry 128 MiB physical VMEM):
+    fp32 scores [B, BT] + fallback key scratch [B, BT] + ~2 [B, BT]
+    harvest temporaries on the compiler stack + 2 pipelined emb blocks
+    [BT, D]; the exact variant skips the key/harvest buffers. The 40 MiB
+    model budget leaves ~24 MiB compiler headroom (validated on v5e at
+    B=256). 4096 cap keeps the packed variant's 12 index bits
+    sufficient."""
+    budget = 40 * 1024 * 1024
+    score_bufs = 4 if packed else 2
     for bt in (4096, 2048, 1024, 512):
         if t_pad % bt:
             continue
-        if (batch + key_rows) * bt * 4 + 2 * bt * d * itemsize <= budget:
+        if score_bufs * batch * bt * 4 + 2 * bt * d * itemsize <= budget:
             return bt
     return None
 

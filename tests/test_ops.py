@@ -97,11 +97,11 @@ def test_fused_topk_fully_padded_shard_interpret(variant):
 
 
 def test_pick_block_t():
-    # packed keys shrank to one row-group [32, BT] in r2, so fp32 at
-    # B=256 now fits the 4096 block (r1 had a full [B, BT] key buffer)
+    # r2 model: 4 [B, BT] fp32 buffers (scores + fallback keys + harvest
+    # temps) under the lifted 64 MiB kernel VMEM limit → 4096 at B=256
     assert pick_block_t(4096 * 305, 256, 128, 4) == 4096
     assert pick_block_t(4096 * 305, 256, 128, 2) == 4096
-    # exact variant has no key scratch
+    # exact variant has no key/harvest buffers
     assert pick_block_t(4096 * 305, 256, 128, 4, packed=False) == 4096
     assert pick_block_t(4096 * 305, 64, 128, 4) == 4096
     assert pick_block_t(1000, 8, 128, 4) is None  # no pow2 divisor
