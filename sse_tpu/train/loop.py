@@ -90,6 +90,7 @@ def make_train_step(
     model_cfg: SSEConfig,
     cfg: TrainConfig,
     donate: bool = True,
+    packed_width: Optional[int] = None,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
@@ -99,6 +100,13 @@ def make_train_step(
     modes gather candidates from them); pass zeros-shaped dummies in
     source-encoder-only mode. Shardings follow the input arrays, so the same
     step runs single-chip or pjit-sharded over a mesh unchanged.
+
+    With ``packed_width=L`` the returned fn instead takes ONE
+    ``[B, L+3]`` int32 operand per batch (src | src_len | labels |
+    bitcast weight) and splits it inside the jit: the hot loop then does
+    a single host→device upload per step instead of four — on
+    high-latency links (tunneled runtimes, DCN-attached hosts) the
+    per-transfer latency is what bounds an async training loop.
     """
     tx = make_optimizer(cfg)
     loss_cfg = cfg.loss
@@ -173,7 +181,41 @@ def make_train_step(
         metrics = {"loss": loss, "accuracy": acc, "grad_norm": gnorm}
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if packed_width is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    l = packed_width
+
+    def packed_step(state, packed, tgt_tokens, tgt_lens,
+                    tgt_emb_cache=None):
+        src = packed[:, :l]
+        src_len = packed[:, l]
+        labels = packed[:, l + 1]
+        weight = jax.lax.bitcast_convert_type(
+            packed[:, l + 2], jnp.float32
+        )
+        return step_fn(
+            state, src, src_len, labels, weight, tgt_tokens, tgt_lens,
+            tgt_emb_cache,
+        )
+
+    return jax.jit(packed_step, donate_argnums=(0,) if donate else ())
+
+
+def pack_batch(batch: Batch) -> np.ndarray:
+    """Fuse one batch into the single [B, L+3] int32 operand that the
+    packed train step splits on device (see make_train_step)."""
+    return np.concatenate(
+        [
+            batch.src,
+            batch.src_len[:, None],
+            batch.labels[:, None],
+            np.ascontiguousarray(batch.weight, np.float32)
+            .view(np.int32)
+            .reshape(-1, 1),
+        ],
+        axis=1,
+    )
 
 
 def train(
@@ -233,7 +275,9 @@ def train(
         _replicated_global = lambda x: jax.device_put(jnp.asarray(x), _rep)
     else:
         _batch_global = _replicated_global = jnp.asarray
-    step_fn = make_train_step(model_cfg, cfg)
+    step_fn = make_train_step(
+        model_cfg, cfg, packed_width=train_pairs.src.shape[1]
+    )
     it = BatchIterator(
         train_pairs,
         cfg.batch_size,
@@ -284,10 +328,7 @@ def train(
         for batch in it.epoch_batches(epoch):
             state, metrics = step_fn(
                 state,
-                _batch_global(batch.src),
-                _batch_global(batch.src_len),
-                _batch_global(batch.labels),
-                _batch_global(batch.weight),
+                _batch_global(pack_batch(batch)),  # ONE upload per step
                 tgt_tokens,
                 tgt_lens,
                 tgt_emb_cache=tgt_emb_cache,
