@@ -321,11 +321,19 @@ def train(
     # only per-window sync is the loss-mean readback at checkpoints.
     step = int(state.step)  # ONE sync, before the hot loop
     # Resume semantics: a restored state's step count implies how many
-    # epochs already ran (deterministic iterator), so training continues
-    # toward the SAME max_epochs target instead of adding max_epochs more.
-    start_epoch = min(step // max(it.steps_per_epoch, 1), cfg.max_epochs)
+    # epochs (and, since the iterator is deterministic in (seed, epoch),
+    # how many batches WITHIN the current epoch) already ran — training
+    # continues toward the SAME max_epochs target, skipping exactly the
+    # batches already consumed. Mid-epoch resume matters at corpus scale:
+    # a 10M-pair epoch is ~40k steps, and restarting it from batch 0
+    # would retrain up to an epoch's worth of data.
+    spe = max(it.steps_per_epoch, 1)
+    start_epoch = min(step // spe, cfg.max_epochs)
+    skip_batches = step % spe if start_epoch < cfg.max_epochs else 0
     for epoch in range(start_epoch, cfg.max_epochs):
-        for batch in it.epoch_batches(epoch):
+        for bi, batch in enumerate(it.epoch_batches(epoch)):
+            if epoch == start_epoch and bi < skip_batches:
+                continue
             state, metrics = step_fn(
                 state,
                 _batch_global(pack_batch(batch)),  # ONE upload per step

@@ -163,6 +163,54 @@ def test_checkpoint_round_trip(tmp_path):
     mgr.close()
 
 
+def test_mid_epoch_resume_matches_uninterrupted():
+    """Resuming from a MID-epoch checkpoint continues at the exact next
+    batch (deterministic iterator), so the final params equal the
+    uninterrupted run — at 10M-pair scale an epoch is ~40k steps and
+    restarting it from batch 0 would retrain up to an epoch of data."""
+    vocab, tspace, tr, ev = build_task("classification")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SOURCE_ENCODER_ONLY,
+        src_tower=tower(vocab.vocab_size),
+        num_targets=NUM_TARGETS,
+    )
+    cfg = TrainConfig(
+        batch_size=32,
+        learning_rate=0.05,
+        loss=LossConfig(kind="full"),
+        max_epochs=2,
+        steps_per_checkpoint=10_000,
+        seed=3,
+    )
+    straight = train(model_cfg, cfg, tr, tspace)
+
+    # capture the state mid-way through epoch 1 (not at an epoch edge)
+    spe = BatchIterator(tr, 32).steps_per_epoch
+    assert spe >= 2
+    mid_step = spe + spe // 2
+    mid_cfg = dataclasses.replace(
+        cfg, steps_per_checkpoint=mid_step
+    )
+    captured = {}
+
+    def capture(state, step, rec):
+        if step == mid_step and "state" not in captured:
+            # host copy: the live state's buffers are DONATED to the next
+            # step (checkpointing copies the same way via Orbax)
+            captured["state"] = jax.tree.map(np.asarray, state)
+
+    train(model_cfg, mid_cfg, tr, tspace, checkpoint_fn=capture)
+    assert int(captured["state"].step) == mid_step
+    resumed = train(model_cfg, cfg, tr, tspace, state=captured["state"])
+    assert int(resumed.step) == int(straight.step)
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["target_table"]),
+        np.asarray(straight.params["target_table"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
 def test_best_checkpoint_retention(tmp_path):
     """best_metric keeps the highest-recall checkpoint even after worse
     later saves."""
