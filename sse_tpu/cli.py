@@ -100,9 +100,20 @@ def cmd_train(args) -> int:
         ws = Workspace.create(args.model_dir, _build_cfg(args))
     elif os.path.exists(cfg_path):
         ws = Workspace.open(args.model_dir)  # resume with saved config
-    else:
-        print("error: new model_dir needs --task_type", file=sys.stderr)
-        return 2
+        # explicitly-passed flags still apply on resume (the common case:
+        # extending --max_epochs); they persist back into config.json
+        from sse_tpu.configs import TaskConfig
+
+        overrides = {
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(TaskConfig)
+            if f.name != "task_type"
+            and getattr(args, f.name, None) is not None
+        }
+        if overrides:
+            ws = Workspace.create(
+                args.model_dir, dataclasses.replace(ws.cfg, **overrides)
+            )
     final = ws.train(args.data_dir)
     print("[sse] final eval: " + json.dumps(final))
     return 0
