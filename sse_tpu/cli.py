@@ -114,6 +114,9 @@ def cmd_train(args) -> int:
             ws = Workspace.create(
                 args.model_dir, dataclasses.replace(ws.cfg, **overrides)
             )
+    else:
+        print("error: new model_dir needs --task_type", file=sys.stderr)
+        return 2
     final = ws.train(args.data_dir)
     print("[sse] final eval: " + json.dumps(final))
     return 0
