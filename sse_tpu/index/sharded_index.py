@@ -18,6 +18,7 @@ Design (SURVEY.md §2.2 index-parallelism row; §3.2 build mapping):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -226,13 +227,23 @@ def build_index(
     progress: Optional[Callable[[int, int], None]] = None,
     dtype=jnp.float32,
     capacity: Optional[int] = None,  # reserve rows for live add()
+    chunk_batches: int = 64,
 ) -> ShardedIndex:
     """Encode the full target space into a sharded index (the reference's
     sse_index.py stack, SURVEY.md §3.2).
 
     SOURCE_ENCODER_ONLY: the learned table IS the index. Tower modes: the
-    target tower streams over the corpus in static-shape batches; with a
-    mesh, each batch is data-sharded so the encode itself runs DP.
+    index stays DEVICE-RESIDENT end to end — tokens upload in chunks of
+    ``chunk_batches`` sub-batches, ONE dispatch encodes the whole chunk
+    (lax.map over sub-batches), and the embeddings write straight into
+    the preallocated index array on device. The r1 builder round-tripped
+    every 512-doc batch through the host, which over a high-latency link
+    ran at ~1.8k docs/sec against a ~350k docs/sec device encode — a
+    190× host-loop tax this removes (BASELINE.md has both numbers).
+
+    Rows in [num_targets, capacity) hold tower output for zero-token
+    padding rows, not zeros — every scoring path masks by the runtime
+    ``num_real`` operand, and live add() overwrites them.
     """
     if model_cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
         emb = np.asarray(sse.target_embeddings(params, model_cfg))
@@ -245,25 +256,63 @@ def build_index(
             capacity=capacity,
         )
 
-    @jax.jit
-    def encode_batch(p, tokens, lengths):
-        return sse.target_embeddings(p, model_cfg, tokens=tokens, lengths=lengths)
-
     toks, lens = target_space.tokens, target_space.lengths
-    t = toks.shape[0]
-    outs: List[np.ndarray] = []
-    for lo in range(0, t, batch_size):
-        tb = toks[lo : lo + batch_size]
-        lb = lens[lo : lo + batch_size]
-        if tb.shape[0] < batch_size:
-            pad = batch_size - tb.shape[0]
-            tb = np.concatenate([tb, np.zeros((pad, tb.shape[1]), tb.dtype)])
+    t, l = toks.shape
+    d = model_cfg.encoding_dim
+    shards = _shard_count(mesh)
+    t_eff = max(t, capacity or 0)
+    align = 4096 if t_eff >= 65536 else 8
+    t_pad = _round_up(max(t_eff, 1), shards * align)
+
+    sharding = (
+        NamedSharding(mesh, P("model", None)) if mesh is not None else None
+    )
+    emb_buf = jnp.zeros((t_pad, d), dtype)
+    if sharding is not None:
+        emb_buf = jax.device_put(emb_buf, sharding)
+
+    @jax.jit
+    def encode_chunk(p, toks3, lens2):  # [S, B, L], [S, B] → [S*B, D]
+        out = jax.lax.map(
+            lambda tl: sse.target_embeddings(
+                p, model_cfg, tokens=tl[0], lengths=tl[1]
+            ),
+            (toks3, lens2),
+        )
+        return out.reshape(-1, d).astype(dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=sharding)
+    def write_chunk(buf, chunk, at):
+        return jax.lax.dynamic_update_slice(buf, chunk, (at, 0))
+
+    # size the chunk to the corpus: tiny (demo/CPU) indexes must not pay
+    # for a full 64x256 chunk of padding rows
+    eff_bs = min(batch_size, _round_up(t, 8))
+    s = max(1, min(chunk_batches, -(-t // eff_bs)))
+    chunk_docs = s * eff_bs
+    for lo in range(0, t, chunk_docs):
+        hi = min(lo + chunk_docs, t)
+        tb = toks[lo:hi]
+        lb = lens[lo:hi]
+        if tb.shape[0] < chunk_docs:  # pad the tail chunk
+            pad = chunk_docs - tb.shape[0]
+            tb = np.concatenate([tb, np.zeros((pad, l), tb.dtype)])
             lb = np.concatenate([lb, np.ones((pad,), lb.dtype)])
-        outs.append(np.asarray(encode_batch(params, jnp.asarray(tb), jnp.asarray(lb))))
+        chunk = encode_chunk(
+            params,
+            jnp.asarray(tb.reshape(s, eff_bs, l)),
+            jnp.asarray(lb.reshape(s, eff_bs)),
+        )
+        take = min(chunk_docs, t_pad - lo)
+        if take < chunk_docs:  # never write past the padded buffer
+            chunk = chunk[:take]
+        emb_buf = write_chunk(emb_buf, chunk, jnp.int32(lo))
         if progress:
-            progress(min(lo + batch_size, t), t)
-    emb = np.concatenate(outs)[:t]
-    return from_embeddings(
-        emb, target_space.ids, target_space.texts, mesh, dtype=dtype,
-        capacity=capacity,
+            progress(hi, t)
+    return ShardedIndex(
+        emb=emb_buf,
+        num_real=t,
+        ids=list(target_space.ids),
+        texts=list(target_space.texts),
+        mesh=mesh,
     )
