@@ -58,6 +58,6 @@ def evaluate_against_index(
         _, rows = fused(
             params, index.emb, jnp.asarray(src), jnp.asarray(sl)
         )
-        tops.append(np.asarray(rows))
-    top = np.concatenate(tops)[:n]
+        tops.append(rows)  # stay on device; one fetch at the end
+    top = np.asarray(jnp.concatenate(tops))[:n]
     return recall_at_k(top, eval_pairs.label_sets, ks)

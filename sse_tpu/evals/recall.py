@@ -106,7 +106,7 @@ class Evaluator:
         if tgt_emb is None:
             tgt_emb = self.encode_targets(params)
         bs = self.batch_size
-        outs: List[np.ndarray] = []
+        outs: List[jax.Array] = []
         n = self.pairs.num_examples
         for lo in range(0, n, bs):
             s = self.pairs.src[lo : lo + bs]
@@ -123,8 +123,11 @@ class Evaluator:
                 tgt_emb,
                 self.max_k,
             )
-            outs.append(np.asarray(idx))
-        return np.concatenate(outs)[:n]
+            # keep results on device: per-batch np.asarray would block a
+            # round trip per batch (the r2 index-builder lesson); ONE
+            # concatenate + fetch at the end keeps the loop async
+            outs.append(idx)
+        return np.asarray(jnp.concatenate(outs))[:n]
 
     def evaluate(self, params) -> Dict[str, float]:
         top = self.top_rows(params)
