@@ -117,7 +117,14 @@ def cmd_train(args) -> int:
     else:
         print("error: new model_dir needs --task_type", file=sys.stderr)
         return 2
-    final = ws.train(args.data_dir)
+    if getattr(args, "profile_dir", None):
+        # device trace of the whole run, viewable in TensorBoard/Perfetto
+        from sse_tpu.utils import trace
+
+        with trace(args.profile_dir):
+            final = ws.train(args.data_dir)
+    else:
+        final = ws.train(args.data_dir)
     print("[sse] final eval: " + json.dumps(final))
     return 0
 
@@ -324,6 +331,11 @@ def main(argv=None) -> int:
     )
     _add_task_overrides(p)
     _add_dist_flags(p)
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler device trace of the run "
+        "(TensorBoard/Perfetto) into this directory",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("index", help="build the target index (reference: sse_index)")

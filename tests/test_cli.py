@@ -110,6 +110,48 @@ def test_cli_full_flow(tmp_path):
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["value"] > 0, (kind, out)
 
+    # crash recovery (SURVEY §5 failure-detection row): SIGKILL the
+    # training process mid-run, restart the same command, and training
+    # resumes from the latest checkpoint toward the same max_epochs
+    import signal
+    import subprocess as sp
+    import time as _time
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SSE_PLATFORM"] = "cpu:8"
+    crash_args = [
+        sys.executable, "-m", "sse_tpu.cli", "train",
+        "--task_type", "classification", "--data_dir", "data",
+        "--model_dir", "crashrun", "--max_epochs", "200",
+        "--batch_size", "16", "--embed_dim", "16", "--hidden", "16",
+        "--encoding_dim", "16", "--vocab_size", "200",
+        "--max_seq_length", "12", "--steps_per_checkpoint", "4",
+    ]
+    p = sp.Popen(crash_args, cwd=wd, env=env, stdout=sp.PIPE,
+                 stderr=sp.STDOUT, text=True)
+    deadline = _time.time() + 300
+    ckpt_dir = tmp_path / "crashrun" / "ckpt"
+    while _time.time() < deadline:
+        steps = [d for d in ckpt_dir.glob("*") if d.name.isdigit()]
+        if steps:
+            break
+        _time.sleep(1)
+    else:
+        p.kill()
+        raise AssertionError("no checkpoint appeared before kill")
+    p.send_signal(signal.SIGKILL)  # hard crash, no cleanup
+    p.wait()
+    killed_at = max(int(d.name) for d in ckpt_dir.glob("*") if d.name.isdigit())
+    r = run_cli(
+        ["train", "--data_dir", "data", "--model_dir", "crashrun",
+         "--max_epochs", str(killed_at // 4 + 2)],  # resume, finish soon
+        wd,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "restored checkpoint" in r.stdout
+    assert "final eval" in r.stdout
+
     # bool-flag overrides parse in both spellings (regression: a4c7685)
     r = run_cli(
         [
