@@ -77,6 +77,21 @@ def test_fused_topk_num_real_traced_interpret():
     np.testing.assert_array_equal(np.asarray(idx), eidx)
 
 
+def test_fused_topk_large_k_interpret():
+    """k=64 (deep retrieval): slot-buffer consolidations cycle many times
+    and the fallback pass loop runs 64 deep — selection must still match
+    the quantized reference exactly."""
+    b, d, t = 8, 32, 2048
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
+    vals, idx = fused_score_topk(
+        q, emb, 64, t, block_t=256, interpret=True, variant="packed"
+    )
+    evals, eidx = _reference(q, emb, 64, t, quantized=True)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
 @pytest.mark.parametrize("variant", ["exact", "packed"])
 def test_fused_topk_fully_padded_shard_interpret(variant):
     """num_real=0 (a fully-padded shard — possible with from_embeddings
