@@ -282,7 +282,9 @@ class Workspace:
     ) -> QueryEngine:
         """Load everything needed for serving. Uses the saved index if
         present, else builds one (requires data_dir)."""
-        vocab = SubwordVocab.load(self.vocab_path)
+        from sse_tpu.text.subword import load_vocab
+
+        vocab = load_vocab(self.vocab_path)  # marker-dispatches word mode
         mesh = self.mesh()
         if os.path.isdir(self.index_dir):
             index = ShardedIndex.load(self.index_dir, mesh)

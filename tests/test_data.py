@@ -259,6 +259,12 @@ def test_word_vocab_mode(tmp_path):
     ws = Workspace.create(str(tmp_path / "model"), cfg)
     final = ws.train(data)
     assert final["recall@1"] > 0.5
+    # the serving engine loads word vocabs too (marker dispatch)
+    ws.build_index(data)
+    eng = ws.engine(k=3)
+    assert isinstance(eng.vocab, TokenVocab)
+    hits = eng.query([tg[0][1]])[0]
+    assert len(hits) == 3
 
 
 def test_hard_corpus_structure():
