@@ -116,14 +116,17 @@ def _packed_kernel(
     design makes the per-block candidate harvest O(1) full-width passes:
 
       * one fp32 row-max (doubles as the skip gate when T/B is large);
-      * one compare+cast pass builds the 0/1 crosser mask; a thin MXU
-        matmul against [ones, col] reduces it to per-row (count,
-        column-sum). When the count is 1 (the overwhelmingly common
-        case after ~5 blocks) the column-sum IS the candidate's column
-        and its value is the row max: it appends straight into a slot
-        buffer — no extraction loop, no merge;
-      * blocks where any row has 2+ candidates (early warm-up, rare
-        ties later) fall back to the packed k-pass extraction;
+      * one compare+encode+sum pass: every crosser (score > thr)
+        contributes (2^19 + column) to a per-row int32 sum, so ONE
+        reduction yields the candidate COUNT (sum >> 19) and, when the
+        count is 1 (the common case), the exact COLUMN (low bits); the
+        candidate's value is the row max, and it appends straight into
+        a slot buffer — no extraction loop, no merge;
+      * TWO-crosser rows resolve analytically (exact-max column via a
+        min-reduce, second value via a masked max, fp32 ties handled —
+        see the inline comment); only rows with 3+ crossers (or an
+        int32-wrapped count, or a padding boundary block) take the
+        k-pass packed-extraction fallback;
       * merges happen only at CONSOLIDATIONS (buffer full / last block):
         total merge work is O(candidates) ≈ B·k·ln(nblocks), not
         O(B·nblocks).
@@ -167,9 +170,8 @@ def _packed_kernel(
     # Gate in sortable-int space with low bits cleared — EXACTLY the
     # candidates' quantization, so the gate can never skip a key that the
     # harvest would have kept (equal quantized score → earlier wins).
-    m_key = _to_sortable(jnp.max(scores, axis=1, keepdims=True)) & ~jnp.int32(
-        _IDX_MASK
-    )  # [B, 1]
+    m_f = jnp.max(scores, axis=1, keepdims=True)  # [B, 1] fp32
+    m_key = _to_sortable(m_f) & ~jnp.int32(_IDX_MASK)
 
     def consolidate():
         slotv = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
@@ -222,8 +224,11 @@ def _packed_kernel(
         )  # [B, 1]
         cnt_row = jax.lax.shift_right_arithmetic(harvest, _SHIFT)
         col_row = harvest & ((1 << _SHIFT) - 1)
+        # rows with exactly TWO crossers are resolved analytically below
+        # (second-max + col algebra); only 3+ crossers (or the int32
+        # wrap, or a padding boundary) need the k-pass fallback
         multi = jnp.logical_or(
-            jnp.any(jnp.logical_or(cnt_row >= 2, cnt_row < 0)),
+            jnp.any(jnp.logical_or(cnt_row >= 3, cnt_row < 0)),
             boundary,  # padding rows only exist past the boundary
         )
 
@@ -283,20 +288,62 @@ def _packed_kernel(
 
         @pl.when(jnp.logical_not(multi))
         def _():
-            @pl.when(jnp.any(cnt_row == 1))
-            def _():
-                # the common case: at most one crosser per row — its
-                # value is the row max, its column is in the harvest sum
+            def append(vals_col, gidx_col):
                 slot = sm[0]
                 slotv = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
                 hit = slotv == slot
-                kbuf[:] = jnp.where(
-                    hit,
-                    jnp.where(cnt_row == 1, m_key, _INT_MIN),
-                    kbuf[:],
-                )
-                gbuf[:] = jnp.where(hit, row0 + col_row, gbuf[:])
+                kbuf[:] = jnp.where(hit, vals_col, kbuf[:])
+                gbuf[:] = jnp.where(hit, gidx_col, gbuf[:])
                 sm[0] = slot + 1
+
+            pair = jnp.any(cnt_row == 2)
+
+            @pl.when(pair)
+            def _():
+                # two-crosser rows, no extraction loop: every element
+                # equal to the row max IS a crosser (max > thr), so the
+                # max's column is the MIN column among exact-max hits
+                # (exact under fp32 ties), the other crosser's column is
+                # the harvest sum minus it, and its value is the max of
+                # the scores with the max value masked out. If that
+                # second max fell to ≤ thr, BOTH crossers were fp32-equal
+                # to the row max (tie) and both append with its key —
+                # lower column first, preserving the packed tie order.
+                ismax = scores == m_f
+                colg = jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 1
+                )
+                colmin = jnp.min(
+                    jnp.where(ismax, colg, 1 << 20), axis=1, keepdims=True
+                )
+                v2 = jnp.max(
+                    jnp.where(ismax, NEG, scores), axis=1, keepdims=True
+                )
+                val2 = jnp.where(
+                    v2 > thr_scr[:],
+                    _to_sortable(v2) & ~jnp.int32(_IDX_MASK),
+                    m_key,
+                )
+                col_a = jnp.where(cnt_row == 2, colmin, col_row)
+                append(
+                    jnp.where(cnt_row >= 1, m_key, _INT_MIN),
+                    row0 + col_a,
+                )
+                append(
+                    jnp.where(cnt_row == 2, val2, _INT_MIN),
+                    row0 + (col_row - colmin),
+                )
+
+            @pl.when(jnp.logical_not(pair))
+            def _():
+                @pl.when(jnp.any(cnt_row == 1))
+                def _():
+                    # at most one crosser per row — its value is the row
+                    # max, its column is the harvest sum itself
+                    append(
+                        jnp.where(cnt_row == 1, m_key, _INT_MIN),
+                        row0 + col_row,
+                    )
 
     @pl.when(i == nblocks - 1)
     def _():
