@@ -42,11 +42,13 @@ def _default_model(vocab_size: int = 8000, encoding_dim: int = 128) -> SSEConfig
 
 def _device_index(num_targets: int, dim: int, dtype=jnp.float32) -> jax.Array:
     """Random L2-normalized index generated on device (no host upload)."""
+    from sse_tpu.index.sharded_index import quantize_rows
+
     emb = jax.random.normal(
         jax.random.PRNGKey(0), (num_targets, dim), jnp.float32
     )
     emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
-    return emb.astype(dtype)
+    return quantize_rows(emb, dtype)
 
 
 def _throughput_time(call, variants, seconds: float = 6.0, window: int = 32) -> float:

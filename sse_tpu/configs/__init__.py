@@ -60,8 +60,11 @@ class TaskConfig:
     steps_per_checkpoint: int = 200
     max_epochs: int = 20
     seed: int = 0
-    # index storage precision: float32 | bfloat16 (bf16 halves HBM → 2x
-    # index rows per chip; scores still accumulate fp32 on the MXU)
+    # index storage precision: float32 | bfloat16 | int8. bf16 halves HBM
+    # (2x index rows per chip; fp32 MXU accumulation). int8 quarters it
+    # (4x rows per chip): symmetric 127-scale quantization of the
+    # L2-normalized rows, EXACT int32 MXU accumulation rescaled to cosine
+    # range — recall parity measured on the hard benchmark (BASELINE.md)
     index_dtype: str = "float32"
     # corpus-scale data path: stream TrainPairs through the encoder into
     # memmapped caches (training sets >> RAM under a fixed memory cap);

@@ -38,6 +38,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+INT8_SCALE = 127  # L2-normalized rows live in [-1, 1]; symmetric int8
+
+
+def quantize_rows(x, dtype):
+    """Cast L2-normalized embedding rows to the index storage dtype.
+
+    float dtypes: plain cast. int8: symmetric quantization at scale 127
+    (a plain astype would truncate [-1, 1] values to 0). Scores computed
+    against an int8 index accumulate exactly in int32 on the MXU and are
+    rescaled by 1/127^2, so returned values stay cosine-comparable."""
+    x = jnp.asarray(x)
+    if jnp.dtype(dtype) == jnp.int8:
+        return jnp.clip(jnp.round(x * INT8_SCALE), -127, 127).astype(jnp.int8)
+    return x.astype(dtype)
+
+
 @dataclasses.dataclass
 class ShardedIndex:
     emb: jax.Array  # [T_pad, D] float32, P('model', None) when mesh given
@@ -87,7 +103,7 @@ class ShardedIndex:
         rows = rows / np.maximum(
             np.linalg.norm(rows, axis=1, keepdims=True), 1e-6
         )
-        update = jnp.asarray(rows).astype(self.emb.dtype)
+        update = quantize_rows(rows, self.emb.dtype)
         # NOT donated: a concurrent in-flight query may still hold the old
         # buffer (the serving engine reads index.emb without a lock); the
         # copy costs one index-sized HBM pass per add() call.
@@ -159,6 +175,8 @@ class ShardedIndex:
     def export_tsv(self, path: str) -> None:
         """Write the reference's targetEncodingIndex.tsv format."""
         emb = np.asarray(self.emb)[: self.num_real].astype(np.float32)
+        if jnp.dtype(self.emb.dtype) == jnp.int8:
+            emb = emb / INT8_SCALE  # export dequantized floats (TSV compat)
         with open(path, "w", encoding="utf-8") as f:
             for i in range(self.num_real):
                 vec = " ".join(f"{v:.6f}" for v in emb[i])
@@ -198,7 +216,10 @@ def from_embeddings(
 
     dtype=jnp.bfloat16 halves HBM (2x index rows per chip, ~2x less
     scoring traffic); scores still accumulate in float32 on the MXU and
-    top-k selection is exact w.r.t. the stored precision."""
+    top-k selection is exact w.r.t. the stored precision.
+    dtype=jnp.int8 halves it AGAIN (4x rows per chip vs float32):
+    symmetric 127-scale quantization, EXACT int32 MXU accumulation,
+    scores rescaled to cosine range (sse_tpu.ops.fused_topk)."""
     t, d = emb.shape
     shards = _shard_count(mesh)
     # Large indexes pad to 4096-aligned shards so the Pallas streaming
@@ -210,7 +231,7 @@ def from_embeddings(
     t_pad = _round_up(max(t_eff, 1), shards * align)
     padded = np.zeros((t_pad, d), np.float32)
     padded[:t] = emb
-    arr = jnp.asarray(padded).astype(dtype)
+    arr = quantize_rows(padded, dtype)
     if mesh is not None:
         arr = jax.device_put(arr, NamedSharding(mesh, P("model", None)))
     return ShardedIndex(
@@ -271,7 +292,17 @@ def build_index(
     if sharding is not None:
         emb_buf = jax.device_put(emb_buf, sharding)
 
-    @jax.jit
+    # params and chunks must land replicated across the WHOLE mesh:
+    # without this they commit to the default device only, and
+    # write_chunk then mixes device sets with the mesh-sharded buffer
+    # (crashes on any multi-device mesh; single-chip runs masked this)
+    rep = (
+        NamedSharding(mesh, P()) if mesh is not None else None
+    )
+    if rep is not None:
+        params = jax.device_put(params, rep)
+
+    @functools.partial(jax.jit, out_shardings=rep)
     def encode_chunk(p, toks3, lens2):  # [S, B, L], [S, B] → [S*B, D]
         out = jax.lax.map(
             lambda tl: sse.target_embeddings(
@@ -279,7 +310,7 @@ def build_index(
             ),
             (toks3, lens2),
         )
-        return out.reshape(-1, d).astype(dtype)
+        return quantize_rows(out.reshape(-1, d), dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=sharding)
     def write_chunk(buf, chunk, at):

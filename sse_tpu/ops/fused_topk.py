@@ -23,6 +23,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.0e38  # python scalar: jnp constants get captured by pallas tracing
+_INT8_INV = 1.0 / (127 * 127)  # int8-index scores → cosine range
+
+
+def _block_scores(q, blk):
+    """q @ blk.T with fp32 output. float operands accumulate in fp32 on
+    the MXU; int8 operands accumulate EXACTLY in int32 (|score| <= 127^2
+    * D < 2^24, so the fp32 conversion is exact too) and are rescaled to
+    cosine range — downstream selection is identical for both."""
+    if blk.dtype == jnp.int8:
+        s = jax.lax.dot_general(
+            q, blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return s.astype(jnp.float32) * _INT8_INV
+    return jax.lax.dot_general(
+        q, blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def quantize_queries_int8(q):
+    """Symmetric 127-scale int8 quantization of L2-normalized query
+    embeddings (matches sse_tpu.index.sharded_index.quantize_rows)."""
+    return jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
 
 
 def _topk_passes(scores, gidx, k):
@@ -153,12 +179,7 @@ def _packed_kernel(
         sm[1] = 0  # fallback-extraction done flag
 
     num_real = nr_ref[0]
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        emb_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, BT]
+    scores = _block_scores(q_ref[:], emb_ref[:])  # [B, BT] fp32
     row0 = i * block_t
     # Padding is NOT masked here: index padding rows are zero vectors, so
     # only blocks past the num_real boundary can contain them, and those
@@ -362,14 +383,7 @@ def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
         ri[:] = jnp.full_like(ri, 2**30)
 
     num_real = nr_ref[0]
-    q = q_ref[:]  # [B, D]
-    blk = emb_ref[:]  # [BT, D]
-    scores = jax.lax.dot_general(
-        q,
-        blk,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, BT]
+    scores = _block_scores(q_ref[:], emb_ref[:])  # [B, BT] fp32
     row0 = i * block_t
     gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     # Only blocks straddling the real/padding boundary pay the mask pass.
@@ -434,8 +448,10 @@ def fused_score_topk(
     score matrix.
 
     `emb` may be bfloat16 (halves HBM traffic; scores still accumulate in
-    float32 on the MXU). See the packed-variant comment above for the
-    selection-precision trade.
+    float32 on the MXU) or int8 (quarters it vs float32 — 4x index rows
+    per chip; EXACT int32 MXU accumulation rescaled to cosine range, and
+    float queries are 127-scale quantized here automatically). See the
+    packed-variant comment above for the selection-precision trade.
     """
     b, d = q.shape
     t_pad = emb.shape[0]
@@ -453,7 +469,11 @@ def fused_score_topk(
     )
     if variant == "packed":
         kernel = functools.partial(kernel, slots=slots)
-    q = q.astype(emb.dtype)
+    if emb.dtype == jnp.int8:
+        if q.dtype != jnp.int8:
+            q = quantize_queries_int8(q)
+    else:
+        q = q.astype(emb.dtype)
     nr = jnp.asarray(num_real, jnp.int32).reshape((1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

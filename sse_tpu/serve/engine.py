@@ -43,7 +43,21 @@ def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t,
             variant=variant,
         )
         return vals, idx + row0
-    scores = jnp.dot(q, emb_block.T, preferred_element_type=jnp.float32)
+    if emb_block.dtype == jnp.int8:
+        # int8 index: 127-scale quantized queries, EXACT int32 MXU
+        # accumulation, scores rescaled to cosine range (matches the
+        # Pallas path — sse_tpu.ops.fused_topk._block_scores)
+        from sse_tpu.ops.fused_topk import _INT8_INV, quantize_queries_int8
+
+        scores = jax.lax.dot_general(
+            quantize_queries_int8(q), emb_block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * _INT8_INV
+    else:
+        scores = jnp.dot(
+            q, emb_block.T, preferred_element_type=jnp.float32
+        )
     lids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(lids < nr_local, scores, NEG_INF)
     if k > t_local:

@@ -1,16 +1,20 @@
 """HTTP front end over QueryEngine (reference webserver.py analog,
 SURVEY.md §2.1 L6). stdlib-only (ThreadingHTTPServer): GET /api/query
-returns top-N JSON; GET / serves a minimal demo page."""
+returns top-N JSON; GET / serves a minimal demo page; GET /api/stats
+(JSON) and GET /metrics (Prometheus text) expose serving counters and
+latency percentiles (sse_tpu.serve.stats)."""
 
 from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 from sse_tpu.serve.engine import QueryEngine
+from sse_tpu.serve.stats import ServingStats
 
 _DEMO_PAGE = """<!doctype html>
 <html><head><title>SSE-TPU demo</title></head>
@@ -30,6 +34,7 @@ def make_handler(engine):
     if batcher is not None:
         engine = batcher.engine
     lock = threading.Lock()  # non-batched fallback: serialize device access
+    stats = ServingStats()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -43,6 +48,21 @@ def make_handler(engine):
             url = urlparse(self.path)
             if url.path == "/healthz":
                 self._send(200, b'{"status": "ok"}', "application/json")
+                return
+            if url.path == "/api/stats":
+                snap = stats.snapshot()
+                snap["index_num_targets"] = engine.index.num_real
+                self._send(
+                    200, json.dumps(snap).encode(), "application/json"
+                )
+                return
+            if url.path == "/metrics":
+                body = stats.prometheus(
+                    {"index_num_targets": engine.index.num_real}
+                ).encode()
+                self._send(
+                    200, body, "text/plain; version=0.0.4; charset=utf-8"
+                )
                 return
             if url.path == "/":
                 self._send(200, _DEMO_PAGE.encode(), "text/html; charset=utf-8")
@@ -62,6 +82,7 @@ def make_handler(engine):
                 except ValueError:
                     n = engine.k
                 n = max(1, min(n, engine.k))
+                t0 = time.perf_counter()
                 try:
                     if batcher is not None:
                         hits = batcher.query_one(keywords, timeout=120)[:n]
@@ -69,12 +90,14 @@ def make_handler(engine):
                         with lock:
                             hits = engine.query([keywords])[0][:n]
                 except Exception as e:  # engine/device failure → JSON 500
+                    stats.record_error()
                     self._send(
                         500,
                         json.dumps({"error": f"query failed: {e}"}).encode(),
                         "application/json",
                     )
                     return
+                stats.record_query(time.perf_counter() - t0)
                 body = json.dumps(
                     {"query": keywords, "results": hits}, ensure_ascii=False
                 ).encode()
@@ -102,6 +125,7 @@ def make_handler(engine):
             try:
                 with lock:
                     n = engine.add_documents(ids, texts)
+                stats.record_add(len(ids))
             except Exception as e:
                 self._send(
                     400,

@@ -258,9 +258,9 @@ class Workspace:
             model_cfg,
             tspace,
             mesh=self.mesh(),
-            dtype=_jnp.bfloat16
-            if self.cfg.index_dtype == "bfloat16"
-            else _jnp.float32,
+            dtype={"bfloat16": _jnp.bfloat16, "int8": _jnp.int8}.get(
+                self.cfg.index_dtype, _jnp.float32
+            ),
             capacity=capacity,
         )
         index.save(self.index_dir)

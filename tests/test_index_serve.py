@@ -382,3 +382,39 @@ def test_live_index_add_sharded_mesh(setup):
     queries = [tspace.texts[21], tspace.texts[23], "gudi foso"]
     for a, b in zip(eng.query(queries), ref_eng.query(queries)):
         assert [h["targetId"] for h in a] == [h["targetId"] for h in b]
+
+
+def test_http_stats_and_metrics(setup):
+    """GET /api/stats (JSON) and /metrics (Prometheus text) reflect served
+    traffic: counters move, latency percentiles populate, index size is
+    exported (sse_tpu.serve.stats)."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        for i in range(3):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/query?keywords=q{i}"
+            ).read()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/stats"
+        ) as r:
+            snap = json.loads(r.read())
+        assert snap["requests"] == 3
+        assert snap["queries"] == 3
+        assert snap["errors"] == 0
+        assert snap["latency_p50_ms"] > 0
+        assert snap["latency_window"] == 3
+        assert snap["index_num_targets"] == idx.num_real
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE sse_requests counter" in text
+        assert "sse_requests 3" in text
+        assert "# TYPE sse_latency_p50_ms gauge" in text
+        assert f"sse_index_num_targets {idx.num_real}" in text
+    finally:
+        server.shutdown()
+        server.server_close()
