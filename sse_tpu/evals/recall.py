@@ -20,7 +20,10 @@ def recall_at_k(
     label_sets: Sequence[Tuple[int, ...]],
     ks: Sequence[int] = (1, 10),
 ) -> Dict[str, float]:
-    """Multi-label recall: hit if ANY correct row appears in the top k."""
+    """Multi-label recall: hit if ANY correct row appears in the top k.
+    Also reports MRR@max(ks) (reciprocal rank of the FIRST correct row,
+    0 when none appears) — a rank-sensitive companion the recall rows
+    can't express (reference reported accuracy@k only; SURVEY.md §3.4)."""
     out = {}
     n = len(label_sets)
     for k in ks:
@@ -30,6 +33,15 @@ def recall_at_k(
             if set(top_rows[i, :k]) & set(labels)
         )
         out[f"recall@{k}"] = hits / max(n, 1)
+    kmax = min(max(ks), top_rows.shape[1]) if ks else top_rows.shape[1]
+    rr = 0.0
+    for i, labels in enumerate(label_sets):
+        lset = set(labels)
+        for rank, row in enumerate(top_rows[i, :kmax]):
+            if row in lset:
+                rr += 1.0 / (rank + 1)
+                break
+    out[f"mrr@{kmax}"] = rr / max(n, 1)
     return out
 
 

@@ -92,8 +92,9 @@ class ShardedIndex:
         NO recompile of the serving program (num_real is a runtime operand
         of the fused query fn). Raises when capacity is exhausted; build
         with from_embeddings(..., capacity=...) to reserve headroom.
-        (Deletion = rebuild; tombstoning rows is not supported — a zeroed
-        row would still score 0 and could outrank true negatives.)"""
+        For removal see delete() (swap-with-last; tombstoning rows is not
+        supported — a zeroed row would still score 0 and could outrank
+        true negatives)."""
         n = emb_rows.shape[0]
         if self.num_real + n > self.capacity:
             raise ValueError(
@@ -118,6 +119,59 @@ class ShardedIndex:
         self.ids.extend(ids)
         self.texts.extend(texts)
         self.num_real += n
+
+    def delete(self, target_ids: Sequence[str]) -> int:
+        """Live document removal by SWAP-WITH-LAST: each deleted row is
+        overwritten by the current last real row and num_real shrinks —
+        O(1) device work per delete, exactness and the serving program
+        both untouched (num_real is a runtime operand, so no recompile).
+        Row order is NOT stable across deletes (the sidecar id/text lists
+        move with the rows, so results stay correct). Returns the new
+        num_real; raises KeyError on an unknown id.
+
+        Concurrency note (mirrors add()): writes publish emb first and
+        num_real LAST, so a query's snapshot (engine.py reads num_real
+        before emb) can transiently see the swapped row at BOTH positions
+        — a duplicate result for one in-flight batch, never a stale or
+        out-of-range row."""
+        id_pos = {tid: r for r, tid in enumerate(self.ids[: self.num_real])}
+        rows = []
+        for tid in target_ids:
+            if tid not in id_pos:
+                raise KeyError(f"unknown target id: {tid}")
+            rows.append(id_pos[tid])
+        if len(set(rows)) != len(rows):
+            raise ValueError("duplicate target ids in delete()")
+
+        emb = self.emb
+        swap = jax.jit(
+            lambda e, frm, to: jax.lax.dynamic_update_slice(
+                e,
+                jax.lax.dynamic_slice(e, (frm, 0), (1, e.shape[1])),
+                (to, 0),
+            )
+        )
+        # Descending-order processing keeps the invariant that after j
+        # deletions, position num_real-1-j is always a SURVIVOR: every
+        # doomed row above it was either physically deleted already or is
+        # exactly the row being processed (end == r, no swap needed).
+        end = self.num_real
+        for r in sorted(rows, reverse=True):
+            end -= 1
+            if end > r:
+                emb = swap(emb, jnp.int32(end), jnp.int32(r))
+                self.ids[r] = self.ids[end]
+                self.texts[r] = self.texts[end]
+            # shrink the sidecar so stale entries can't resurface via add()
+            del self.ids[end]
+            del self.texts[end]
+        if self.mesh is not None:  # keep the row sharding stable
+            emb = jax.device_put(
+                emb, NamedSharding(self.mesh, P("model", None))
+            )
+        self.emb = emb
+        self.num_real = end
+        return self.num_real
 
     # ------------------------------------------------------------ persist
     def save(self, directory: str) -> None:

@@ -260,6 +260,14 @@ class QueryEngine:
             self._fused = self._build_fused()
         return self.index.num_real
 
+    def delete_documents(self, ids: Sequence[str]) -> int:
+        """Live document removal (swap-with-last in the sharded index —
+        no recompile, O(1) device work per id). Returns the new num_real.
+        A concurrent in-flight query batch may transiently see the
+        swapped row twice (see ShardedIndex.delete concurrency note);
+        it can never see a deleted document resurface."""
+        return self.index.delete(list(ids))
+
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
         """Batch of query strings → per-query top-k
         [{'targetId', 'targetText', 'score', 'row'}, ...] best-first."""

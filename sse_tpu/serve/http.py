@@ -107,6 +107,40 @@ def make_handler(engine):
 
         def do_POST(self):  # noqa: N802 (stdlib API name)
             url = urlparse(self.path)
+            if url.path == "/api/delete":
+                # body: ["id1", "id2", ...] or [{"targetId": ...}, ...]
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length))
+                    ids = [
+                        d["targetId"] if isinstance(d, dict) else str(d)
+                        for d in body
+                    ]
+                except Exception as e:
+                    self._send(
+                        400,
+                        json.dumps({"error": f"bad body: {e}"}).encode(),
+                        "application/json",
+                    )
+                    return
+                try:
+                    with lock:
+                        n = engine.delete_documents(ids)
+                except (KeyError, ValueError) as e:
+                    self._send(
+                        400,
+                        json.dumps({"error": str(e)}).encode(),
+                        "application/json",
+                    )
+                    return
+                self._send(
+                    200,
+                    json.dumps(
+                        {"deleted": len(ids), "num_targets": n}
+                    ).encode(),
+                    "application/json",
+                )
+                return
             if url.path != "/api/add":
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return

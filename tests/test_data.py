@@ -320,3 +320,8 @@ def test_multi_label_pairs_and_recall(tmp_path):
     r = recall_at_k(top, [(0, 2), (1, 3)], ks=(1, 2))
     assert r["recall@1"] == 0.5  # only example 1 hits at rank 1
     assert r["recall@2"] == 1.0
+    # MRR@2: example 0 first hit at rank 2 (1/2), example 1 at rank 1
+    assert r["mrr@2"] == (0.5 + 1.0) / 2
+    # no hit anywhere → contributes 0
+    r0 = recall_at_k(np.array([[5, 7, 9]]), [(0,)], ks=(1, 3))
+    assert r0["mrr@3"] == 0.0

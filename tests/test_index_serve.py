@@ -418,3 +418,132 @@ def test_http_stats_and_metrics(setup):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def _delete_reference(n, doomed_rows):
+    """Model of swap-with-last semantics: returns surviving ORIGINAL row
+    ids in final position order."""
+    rows = list(range(n))
+    end = n
+    for r in sorted(doomed_rows, reverse=True):
+        end -= 1
+        if end > r:
+            rows[r] = rows[end]
+        del rows[end]
+    return rows
+
+
+def test_index_delete_swap_semantics():
+    """delete() removes rows by swap-with-last: exercise single, adjacent,
+    at-end, and bulk patterns against the positional model, checking emb
+    rows and sidecars move together."""
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    rng = np.random.default_rng(0)
+    for doomed in ([3], [7], [2, 3], [1, 3], [6, 7], [0, 4, 5, 6], list(range(8))):
+        emb = rng.normal(size=(8, 4)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        idx = from_embeddings(
+            emb, [f"id{i}" for i in range(8)], [f"t{i}" for i in range(8)]
+        )
+        got_n = idx.delete([f"id{r}" for r in doomed])
+        want = _delete_reference(8, doomed)
+        assert got_n == idx.num_real == len(want)
+        assert idx.ids[: idx.num_real] == [f"id{r}" for r in want]
+        assert idx.texts[: idx.num_real] == [f"t{r}" for r in want]
+        np.testing.assert_allclose(
+            np.asarray(idx.emb)[: idx.num_real], emb[want], rtol=1e-6
+        )
+        # sidecar lists shrank (stale tails can't resurface via add())
+        assert len(idx.ids) == len(idx.texts) == idx.num_real
+
+
+def test_index_delete_errors_and_add_after_delete():
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(6, 4)).astype(np.float32)
+    idx = from_embeddings(
+        emb, [f"id{i}" for i in range(6)], [f"t{i}" for i in range(6)],
+        capacity=8,
+    )
+    with pytest.raises(KeyError):
+        idx.delete(["nope"])
+    with pytest.raises(ValueError):
+        idx.delete(["id1", "id1"])
+    idx.delete(["id2"])
+    # freed capacity is reusable; the new doc lands after the survivors
+    idx.add(emb[:1], ["fresh"], ["fresh text"])
+    assert idx.num_real == 6
+    assert idx.ids[5] == "fresh"
+
+
+def test_index_delete_on_mesh():
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(16, 4)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    mesh = make_mesh(data=1, model=8)
+    idx = from_embeddings(
+        emb, [f"id{i}" for i in range(16)], [f"t{i}" for i in range(16)], mesh
+    )
+    from jax.sharding import PartitionSpec as P
+
+    idx.delete(["id3", "id12"])  # cross-shard swap
+    assert idx.num_real == 14
+    assert idx.emb.sharding.spec == P("model", None)
+    want = _delete_reference(16, [3, 12])
+    np.testing.assert_allclose(
+        np.asarray(idx.emb)[:14], emb[want], rtol=1e-6
+    )
+
+
+def test_engine_delete_documents(setup):
+    """Deleted documents never come back from query(); the swapped
+    survivor still does."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=5)
+    victim_text = tspace.texts[0]
+    victim_id = tspace.ids[0]
+    hits = eng.query([victim_text])[0]
+    assert hits[0]["targetId"] == victim_id  # sanity: self-retrieval
+    eng.delete_documents([victim_id])
+    hits = eng.query([victim_text])[0]
+    assert all(h["targetId"] != victim_id for h in hits)
+    # every other doc remains retrievable
+    other = eng.query([tspace.texts[5]])[0]
+    assert other[0]["targetId"] == tspace.ids[5]
+
+
+def test_http_delete_endpoint(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        n0 = idx.num_real
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/delete",
+            data=json.dumps([tspace.ids[1]]).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body == {"deleted": 1, "num_targets": n0 - 1}
+        # unknown id → 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/delete",
+            data=json.dumps(["missing-id"]).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
