@@ -26,7 +26,7 @@ _DEMO_PAGE = """<!doctype html>
 </body></html>"""
 
 
-def make_handler(engine):
+def make_handler(engine, index_dir: Optional[str] = None):
     """`engine` is a QueryEngine or a MicroBatcher wrapping one."""
     from sse_tpu.serve.batcher import MicroBatcher
 
@@ -107,6 +107,36 @@ def make_handler(engine):
 
         def do_POST(self):  # noqa: N802 (stdlib API name)
             url = urlparse(self.path)
+            if url.path == "/api/save":
+                # persist live adds/deletes (they are otherwise volatile);
+                # ShardedIndex.save writes Orbax + sidecar atomically
+                # enough for a restart to pick the new state up
+                if index_dir is None:
+                    self._send(
+                        400,
+                        b'{"error": "server started without an index_dir"}',
+                        "application/json",
+                    )
+                    return
+                try:
+                    with lock:
+                        engine.index.save(index_dir)
+                        n = engine.index.num_real
+                except Exception as e:
+                    self._send(
+                        500,
+                        json.dumps({"error": str(e)}).encode(),
+                        "application/json",
+                    )
+                    return
+                self._send(
+                    200,
+                    json.dumps(
+                        {"saved": index_dir, "num_targets": n}
+                    ).encode(),
+                    "application/json",
+                )
+                return
             if url.path == "/api/delete":
                 # body: ["id1", "id2", ...] or [{"targetId": ...}, ...]
                 try:
@@ -185,6 +215,7 @@ def serve_http(
     port: int = 8080,
     block: bool = True,
     micro_batch: bool = True,
+    index_dir: Optional[str] = None,  # enables POST /api/save persistence
 ) -> Optional[ThreadingHTTPServer]:
     """`micro_batch=True` coalesces concurrent requests into device
     batches (sse_tpu.serve.batcher) — the production default."""
@@ -192,7 +223,9 @@ def serve_http(
 
     if micro_batch and isinstance(engine, QueryEngine):
         engine = MicroBatcher(engine)
-    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(engine, index_dir=index_dir)
+    )
     if block:
         try:
             server.serve_forever()

@@ -547,3 +547,61 @@ def test_http_delete_endpoint(setup):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_save_endpoint(setup, tmp_path):
+    """POST /api/save persists live adds/deletes; a reload sees them."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16, capacity=80)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    d = str(tmp_path / "live-index")
+    server = serve_http(eng, port=0, block=False, index_dir=d)
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/add",
+            data=json.dumps(
+                [{"targetId": "fresh1", "targetText": "totally new doc"}]
+            ).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req).read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/delete",
+            data=json.dumps([tspace.ids[0]]).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req).read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/save", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["num_targets"] == idx.num_real
+        back = ShardedIndex.load(d)
+        assert back.num_real == idx.num_real
+        assert "fresh1" in back.ids
+        assert tspace.ids[0] not in back.ids[: back.num_real]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_save_without_index_dir(setup):
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    server = serve_http(eng, port=0, block=False)  # no index_dir
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/save", data=b"", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
