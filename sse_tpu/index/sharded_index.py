@@ -61,6 +61,19 @@ class ShardedIndex:
     ids: List[str]
     texts: List[str]
     mesh: Optional[Mesh] = None
+    # atomically-published (emb, num_real, ids, texts) for lock-free
+    # readers (the serving engine): mutators build the new state and
+    # assign this ONE attribute last, so a concurrent query can never
+    # pair a new embedding buffer with an old row count or vice versa
+    # (r1 advisor finding; delete() makes torn reads actively dangerous —
+    # a shrunken ids list with the old num_real would crash lookups)
+    pub: tuple = dataclasses.field(init=False, repr=False, default=None)
+
+    def __post_init__(self):
+        self._publish()
+
+    def _publish(self) -> None:
+        self.pub = (self.emb, self.num_real, self.ids, self.texts)
 
     @property
     def dim(self) -> int:
@@ -116,9 +129,13 @@ class ShardedIndex:
                 new_emb, NamedSharding(self.mesh, P("model", None))
             )
         self.emb = new_emb
+        # in-place extends are safe for holders of the PREVIOUS snapshot
+        # (they only index rows < their num_real); the new state becomes
+        # visible to readers only at the publish below
         self.ids.extend(ids)
         self.texts.extend(texts)
         self.num_real += n
+        self._publish()
 
     def delete(self, target_ids: Sequence[str]) -> int:
         """Live document removal by SWAP-WITH-LAST: each deleted row is
@@ -129,11 +146,11 @@ class ShardedIndex:
         move with the rows, so results stay correct). Returns the new
         num_real; raises KeyError on an unknown id.
 
-        Concurrency note (mirrors add()): writes publish emb first and
-        num_real LAST, so a query's snapshot (engine.py reads num_real
-        before emb) can transiently see the swapped row at BOTH positions
-        — a duplicate result for one in-flight batch, never a stale or
-        out-of-range row."""
+        Concurrency: the sidecar lists are REPLACED (not mutated), and
+        the whole new state is published atomically via `pub` — a racing
+        query sees either the fully-old or the fully-new index, never a
+        torn mix (a shrunken ids list against the old num_real would
+        crash row lookups)."""
         id_pos = {tid: r for r, tid in enumerate(self.ids[: self.num_real])}
         rows = []
         for tid in target_ids:
@@ -143,6 +160,8 @@ class ShardedIndex:
         if len(set(rows)) != len(rows):
             raise ValueError("duplicate target ids in delete()")
 
+        new_ids = list(self.ids)
+        new_texts = list(self.texts)
         emb = self.emb
         swap = jax.jit(
             lambda e, frm, to: jax.lax.dynamic_update_slice(
@@ -160,17 +179,20 @@ class ShardedIndex:
             end -= 1
             if end > r:
                 emb = swap(emb, jnp.int32(end), jnp.int32(r))
-                self.ids[r] = self.ids[end]
-                self.texts[r] = self.texts[end]
+                new_ids[r] = new_ids[end]
+                new_texts[r] = new_texts[end]
             # shrink the sidecar so stale entries can't resurface via add()
-            del self.ids[end]
-            del self.texts[end]
+            del new_ids[end]
+            del new_texts[end]
         if self.mesh is not None:  # keep the row sharding stable
             emb = jax.device_put(
                 emb, NamedSharding(self.mesh, P("model", None))
             )
         self.emb = emb
         self.num_real = end
+        self.ids = new_ids
+        self.texts = new_texts
+        self._publish()
         return self.num_real
 
     # ------------------------------------------------------------ persist

@@ -263,9 +263,9 @@ class QueryEngine:
     def delete_documents(self, ids: Sequence[str]) -> int:
         """Live document removal (swap-with-last in the sharded index —
         no recompile, O(1) device work per id). Returns the new num_real.
-        A concurrent in-flight query batch may transiently see the
-        swapped row twice (see ShardedIndex.delete concurrency note);
-        it can never see a deleted document resurface."""
+        Concurrent queries see the fully-old or fully-new index via the
+        atomic snapshot (see ShardedIndex.delete concurrency note); a
+        deleted document can never resurface or tear a row lookup."""
         return self.index.delete(list(ids))
 
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
@@ -277,16 +277,14 @@ class QueryEngine:
                 out.extend(self.query(texts[lo : lo + self.max_batch]))
             return out
         tokens, lengths = self.encode_queries(texts)
-        # Snapshot the index in the REVERSE of add()'s write order (add()
-        # publishes emb/ids/texts first, num_real LAST): reading num_real
-        # first guarantees the emb/ids/texts read after it are at least as
-        # new, so a concurrent add() can only make the snapshot miss the
-        # newest rows — never pair a new num_real with an old emb (which
-        # would let zero-padding rows score and outrank real results).
-        nr = self.index.num_real
-        emb, ids, texts_side, fused = (
-            self.index.emb, self.index.ids, self.index.texts, self._fused,
-        )
+        # Atomic snapshot: mutators (add/delete) publish the whole
+        # (emb, num_real, ids, texts) tuple as ONE attribute assignment,
+        # so a concurrent mutation can only make this query see the
+        # fully-old or fully-new index — never a new num_real paired with
+        # an old emb (padding rows would score) or a shrunken ids list
+        # against an old num_real (row lookup would crash after delete).
+        emb, nr, ids, texts_side = self.index.pub
+        fused = self._fused
         vals, rows = fused(self.params, emb, tokens, lengths, nr)
         vals = np.asarray(vals)
         rows = np.asarray(rows)

@@ -605,3 +605,72 @@ def test_http_save_without_index_dir(setup):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_concurrent_add_delete_query_http(setup):
+    """Mixed live mutations under load: interleaved POST /api/add and
+    /api/delete against concurrent queries must never crash a row lookup
+    or surface a torn snapshot (delete shrinks the sidecar lists — with
+    field-by-field reads a racing query could index past them; the index
+    publishes (emb, num_real, ids, texts) atomically instead)."""
+    import threading
+    import urllib.error
+
+    vocab, tspace, model_cfg, params, tg = setup
+    emb = np.asarray(build_index(params, model_cfg, tspace).emb)[:24]
+    idx = from_embeddings(emb, tspace.ids, tspace.texts, capacity=128)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=5)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    errors = []
+    stop = threading.Event()
+
+    def querier():
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/query?keywords=gudi+foso",
+                    timeout=30,
+                ) as r:
+                    body = json.loads(r.read())
+                for h in body["results"]:
+                    if h["row"] >= eng.index.capacity:
+                        errors.append(f"padding row {h['row']}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    threads = [threading.Thread(target=querier) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(12):
+            payload = json.dumps(
+                [{"targetId": f"churn{i}", "targetText": f"churn doc {i}"}]
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/add", data=payload
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert json.loads(r.read())["added"] == 1
+            if i % 2:  # delete the previous churn doc AND an original row
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/delete",
+                    data=json.dumps(
+                        [f"churn{i - 1}", tspace.ids[i]]
+                    ).encode(),
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    assert json.loads(r.read())["deleted"] == 2
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+        server.shutdown()
+        server.server_close()
+    assert not errors, errors[:5]
+    # 24 originals + 12 adds - 12 deletes
+    assert eng.index.num_real == 24
+    # deleted ids are gone; survivors remain queryable
+    live = set(eng.index.ids[: eng.index.num_real])
+    assert "churn0" not in live and tspace.ids[1] not in live
+    assert "churn11" in live  # odd-numbered churn docs survive
