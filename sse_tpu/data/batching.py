@@ -95,9 +95,17 @@ class BatchIterator:
             return n // self._global_bs
         return -(-n // self._global_bs)
 
-    def epoch_batches(self, epoch: Optional[int] = None) -> Iterator[Batch]:
+    def epoch_batches(
+        self, epoch: Optional[int] = None, start: int = 0
+    ) -> Iterator[Batch]:
         """Yield this host's batches for one epoch (deterministic in
-        (seed, epoch) so every host agrees on the permutation)."""
+        (seed, epoch) so every host agrees on the permutation).
+
+        `start` begins at that batch index within the epoch's fixed
+        permutation — mid-epoch resume uses it to skip already-consumed
+        batches with index arithmetic only, rather than materializing
+        (gathering + padding) tens of thousands of skipped batches from
+        the memmapped corpus."""
         if epoch is None:
             epoch = self.epoch
         rng = np.random.default_rng(np.uint64(self._seed * 1_000_003 + epoch))
@@ -115,7 +123,7 @@ class BatchIterator:
             perm = rng.permutation(n)
         n = len(perm)
         steps = self.steps_per_epoch
-        for s in range(steps):
+        for s in range(start, steps):
             lo = s * self._global_bs
             idx = perm[lo : lo + self._global_bs]
             # This host's slice of the global batch.

@@ -281,8 +281,8 @@ def encode_pairs_streaming(
     (shape-compatible everywhere an in-memory EncodedPairs is accepted;
     ``label_sets`` holds first-label singletons — multi-label sets matter
     only for EVAL pairs, which stay in-memory). The cache is keyed on
-    (vocab content, max_seq_length, TSV size+mtime), so re-runs reopen the
-    memmaps instantly.
+    (vocab content, max_seq_length, TSV size+mtime, target-id order), so
+    re-runs reopen the memmaps instantly.
     """
     os.makedirs(cache_dir, exist_ok=True)
     st = os.stat(tsv_path)
@@ -293,7 +293,13 @@ def encode_pairs_streaming(
                 max_seq_length,
                 st.st_size,
                 int(st.st_mtime_ns),
-                len(target_space.ids),
+                # labels are ROW INDICES into the target space, so the
+                # cache must key on the target id ORDER, not just the
+                # count — a reordered/edited targetIDs file with the same
+                # row count would silently remap every cached label
+                hashlib.sha256(
+                    "\x00".join(target_space.ids).encode()
+                ).hexdigest(),
             )
         ).encode()
     ).hexdigest()[:16]

@@ -54,6 +54,19 @@ def quantize_rows(x, dtype):
     return x.astype(dtype)
 
 
+def _swap_row_impl(e, frm, to):
+    return jax.lax.dynamic_update_slice(
+        e, jax.lax.dynamic_slice(e, (frm, 0), (1, e.shape[1])), (to, 0)
+    )
+
+
+# delete()'s row swap, jitted ONCE at module scope (a per-call jit would
+# retrace/recompile on every HTTP delete). The donating variant lets XLA
+# alias the update in place for intermediate buffers no reader can hold.
+_swap_row = jax.jit(_swap_row_impl)
+_swap_row_donating = jax.jit(_swap_row_impl, donate_argnums=(0,))
+
+
 @dataclasses.dataclass
 class ShardedIndex:
     emb: jax.Array  # [T_pad, D] float32, P('model', None) when mesh given
@@ -163,22 +176,21 @@ class ShardedIndex:
         new_ids = list(self.ids)
         new_texts = list(self.texts)
         emb = self.emb
-        swap = jax.jit(
-            lambda e, frm, to: jax.lax.dynamic_update_slice(
-                e,
-                jax.lax.dynamic_slice(e, (frm, 0), (1, e.shape[1])),
-                (to, 0),
-            )
-        )
         # Descending-order processing keeps the invariant that after j
         # deletions, position num_real-1-j is always a SURVIVOR: every
         # doomed row above it was either physically deleted already or is
         # exactly the row being processed (end == r, no swap needed).
+        # The FIRST swap copies the buffer (readers holding the published
+        # snapshot keep a valid emb); later swaps hit the donating variant,
+        # which XLA aliases in place — one full copy per delete() call,
+        # then O(rows) device work, and the module-level jits mean no
+        # per-call retrace (both r2.5 review findings).
         end = self.num_real
         for r in sorted(rows, reverse=True):
             end -= 1
             if end > r:
-                emb = swap(emb, jnp.int32(end), jnp.int32(r))
+                fn = _swap_row if emb is self.emb else _swap_row_donating
+                emb = fn(emb, jnp.int32(end), jnp.int32(r))
                 new_ids[r] = new_ids[end]
                 new_texts[r] = new_texts[end]
             # shrink the sidecar so stale entries can't resurface via add()
@@ -280,6 +292,19 @@ def _shard_count(mesh: Optional[Mesh]) -> int:
     return 1 if mesh is None else mesh.shape["model"]
 
 
+def _padded_rows(t: int, capacity: Optional[int], shards: int) -> int:
+    """Index row-padding geometry, shared by from_embeddings and
+    build_index so tower-built and embedding-built indexes always agree
+    on padded shape (shape = serving-program compatibility). Large
+    indexes pad to 4096-aligned shards so the Pallas streaming top-k
+    kernel's block grid divides evenly (sse_tpu.ops.fused_topk); small
+    (demo-scale) indexes keep minimal padding — they take the XLA path
+    where alignment doesn't matter."""
+    t_eff = max(t, capacity or 0)
+    align = 4096 if t_eff >= 65536 else 8
+    return _round_up(max(t_eff, 1), shards * align)
+
+
 def from_embeddings(
     emb: np.ndarray,
     ids: Sequence[str],
@@ -298,13 +323,7 @@ def from_embeddings(
     scores rescaled to cosine range (sse_tpu.ops.fused_topk)."""
     t, d = emb.shape
     shards = _shard_count(mesh)
-    # Large indexes pad to 4096-aligned shards so the Pallas streaming
-    # top-k kernel's block grid divides evenly (sse_tpu.ops.fused_topk);
-    # small (demo-scale) indexes keep minimal padding — they take the XLA
-    # path where alignment doesn't matter.
-    t_eff = max(t, capacity or 0)
-    align = 4096 if t_eff >= 65536 else 8
-    t_pad = _round_up(max(t_eff, 1), shards * align)
+    t_pad = _padded_rows(t, capacity, shards)
     padded = np.zeros((t_pad, d), np.float32)
     padded[:t] = emb
     arr = quantize_rows(padded, dtype)
@@ -338,9 +357,11 @@ def build_index(
     ran at ~1.8k docs/sec against a ~350k docs/sec device encode — a
     190× host-loop tax this removes (BASELINE.md has both numbers).
 
-    Rows in [num_targets, capacity) hold tower output for zero-token
-    padding rows, not zeros — every scoring path masks by the runtime
-    ``num_real`` operand, and live add() overwrites them.
+    Rows in [num_targets, t_pad) are ZERO vectors (matching
+    from_embeddings): scoring masks by the runtime ``num_real`` operand
+    for exactness, and the zero rows additionally let the Pallas kernel's
+    block gate skip untouched reserve blocks instead of routing them to
+    the masked fallback. Live add() overwrites them.
     """
     if model_cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
         emb = np.asarray(sse.target_embeddings(params, model_cfg))
@@ -357,9 +378,7 @@ def build_index(
     t, l = toks.shape
     d = model_cfg.encoding_dim
     shards = _shard_count(mesh)
-    t_eff = max(t, capacity or 0)
-    align = 4096 if t_eff >= 65536 else 8
-    t_pad = _round_up(max(t_eff, 1), shards * align)
+    t_pad = _padded_rows(t, capacity, shards)
 
     sharding = (
         NamedSharding(mesh, P("model", None)) if mesh is not None else None
@@ -413,6 +432,15 @@ def build_index(
         take = min(chunk_docs, t_pad - lo)
         if take < chunk_docs:  # never write past the padded buffer
             chunk = chunk[:take]
+        if hi - lo < take:
+            # zero the tail chunk's padding-doc rows: every row in
+            # [num_real, t_pad) must be a ZERO vector (the kernel's
+            # block-gate premise, and what from_embeddings guarantees) —
+            # the encoded zero-token rows here are identical non-zero
+            # unit vectors that would force the fallback path on every
+            # reserve block
+            rowid = jnp.arange(take)[:, None]
+            chunk = jnp.where(rowid < hi - lo, chunk, 0).astype(chunk.dtype)
         emb_buf = write_chunk(emb_buf, chunk, jnp.int32(lo))
         if progress:
             progress(hi, t)

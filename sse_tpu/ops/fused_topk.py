@@ -461,6 +461,10 @@ def fused_score_topk(
         raise ValueError(f"packed variant needs block_t <= {_IDX_MASK + 1}")
     nblocks = t_pad // block_t
     del group  # r2 harvest kernel is full-batch; kept for API compat
+    # the consolidation schedule guarantees >= k free buffer entries
+    # between merges ONLY when slots >= k; smaller buffers would silently
+    # drop candidates appended past `cap` (one-hot slot writes miss)
+    slots = max(slots, k)
     cap = slots + k
     kernel = functools.partial(
         _packed_kernel if variant == "packed" else _kernel,

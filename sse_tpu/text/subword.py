@@ -246,7 +246,11 @@ class SubwordVocab:
                 for sid in vocab._encode_escaped(escaped):
                     sub_len = len(vocab._subtokens[sid])
                     limit = len(escaped)
-                    if max_subtoken_length is not None:
+                    # 0/None both mean UNBOUNDED — the native builder's
+                    # C ABI uses 0 for "no limit", so the Python fallback
+                    # must agree or the two produce different vocabs for
+                    # --max_subtoken_length 0 (bit-identical contract)
+                    if max_subtoken_length:
                         limit = min(limit, start + max_subtoken_length)
                     for end in range(start + 1, limit + 1):
                         cand_counts[escaped[start:end]] += count

@@ -331,9 +331,12 @@ def train(
     start_epoch = min(step // spe, cfg.max_epochs)
     skip_batches = step % spe if start_epoch < cfg.max_epochs else 0
     for epoch in range(start_epoch, cfg.max_epochs):
-        for bi, batch in enumerate(it.epoch_batches(epoch)):
-            if epoch == start_epoch and bi < skip_batches:
-                continue
+        # skipping happens inside the iterator (index arithmetic on the
+        # epoch's fixed permutation) — materializing ~skip_batches gathers
+        # from a memmapped corpus just to discard them costs minutes at
+        # 40k-step epochs
+        start = skip_batches if epoch == start_epoch else 0
+        for batch in it.epoch_batches(epoch, start=start):
             state, metrics = step_fn(
                 state,
                 _batch_global(pack_batch(batch)),  # ONE upload per step

@@ -176,6 +176,27 @@ def test_streaming_pairs_match_in_memory(encoded, corpus, tmp_path):
         vocab, f"{corpus}/TrainPairs", tspace, L, cache_dir=str(tmp_path)
     )
     np.testing.assert_array_equal(np.asarray(sp2.src), pairs.src)
+    # REORDERED target space (same count): labels are row indices, so the
+    # cache must invalidate — reusing memmapped labels built against the
+    # old order would silently supervise against the wrong targets
+    import dataclasses as _dc
+
+    perm = list(range(len(tspace.ids)))[::-1]
+    rspace = _dc.replace(
+        tspace,
+        ids=[tspace.ids[i] for i in perm],
+        texts=[tspace.texts[i] for i in perm],
+        tokens=tspace.tokens[perm],
+        lengths=tspace.lengths[perm],
+        id_to_row={tspace.ids[i]: r for r, i in enumerate(perm)},
+    )
+    sp3 = encode_pairs_streaming(
+        vocab, f"{corpus}/TrainPairs", rspace, L, cache_dir=str(tmp_path)
+    )
+    remapped = np.array(
+        [rspace.id_to_row[tspace.ids[l]] for l in pairs.labels], np.int32
+    )
+    np.testing.assert_array_equal(np.asarray(sp3.labels), remapped)
 
 
 def test_windowed_shuffle_exactly_once(encoded):

@@ -52,6 +52,21 @@ def test_build_index_shapes(setup):
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
 
+def test_build_index_capacity_reserve_rows_are_zero(setup):
+    """Tower-mode build_index with capacity headroom: rows in
+    [num_real, t_pad) must be ZERO vectors, matching from_embeddings —
+    the tail chunk's encoded zero-token padding docs are identical
+    non-zero unit vectors that would defeat the kernel's block gate on
+    every reserve block (r2.5 review)."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(
+        params, model_cfg, tspace, batch_size=16, capacity=96
+    )
+    assert idx.num_real == 24 and idx.padded_size >= 96
+    tail = np.asarray(idx.emb)[idx.num_real :]
+    np.testing.assert_array_equal(tail, 0)
+
+
 def test_index_save_load_and_tsv(setup, tmp_path):
     vocab, tspace, model_cfg, params, tg = setup
     idx = build_index(params, model_cfg, tspace, batch_size=16)

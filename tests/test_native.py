@@ -84,8 +84,11 @@ def test_native_vocab_builder_parity():
         + SAMPLES
         + ["under_score te\\xt 北京 déjà-vu 42 foo_bar_baz"] * 3
     )
+    # msl=0 must mean UNBOUNDED in BOTH builders (the native C ABI uses 0
+    # for "no limit"; the Python fallback treated it as "no candidates"
+    # until r2.5 — machine-dependent vocabs)
     for mc in (1, 2, 5, 20):
-        for msl in (None, 4):
+        for msl in (None, 0, 4):
             py = SubwordVocab.build_from_token_counts(
                 counts, mc, max_subtoken_length=msl, use_native=False
             )

@@ -102,6 +102,22 @@ def test_fused_topk_large_k_interpret():
     np.testing.assert_array_equal(np.asarray(idx), eidx)
 
 
+def test_fused_topk_k_exceeds_slot_buffer_interpret():
+    """k larger than the default 64-slot candidate buffer: the kernel
+    must widen the buffer (slots >= k invariant) — with slots pinned at
+    64 the consolidation schedule can't guarantee k free appends and a
+    crowded block would silently drop candidates past the buffer cap."""
+    b, d, t = 4, 32, 1024
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    vals, idx = fused_score_topk(
+        q, emb, 96, t, block_t=256, interpret=True, variant="packed"
+    )
+    evals, eidx = _reference(q, emb, 96, t, quantized=True)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
 @pytest.mark.parametrize("variant", ["exact", "packed"])
 def test_fused_topk_fully_padded_shard_interpret(variant):
     """num_real=0 (a fully-padded shard — possible with from_embeddings
