@@ -215,7 +215,13 @@ def cmd_serve(args) -> int:
         f"on http://{args.host}:{args.port}  (Ctrl-C to stop)",
         flush=True,
     )
-    serve_http(engine, host=args.host, port=args.port, index_dir=ws.index_dir)
+    serve_http(
+        engine,
+        host=args.host,
+        port=args.port,
+        index_dir=ws.index_dir,
+        model_dir=ws.model_dir,
+    )
     return 0
 
 

@@ -57,6 +57,10 @@ class TaskConfig:
     bidirectional: bool = False  # t→s direction averaged in (same paper)
     num_hard_negatives: int = 0  # dynamic mining (PAPERS.md 2303.15311)
     hard_negative_refresh: int = 500
+    # regularization / averaging (reference has neither; measured on the
+    # hard benchmark — BASELINE.md)
+    dropout: float = 0.0  # train-time tower dropout; eval/serving inert
+    ema_decay: float = 0.0  # >0: Polyak-average params for inference
     steps_per_checkpoint: int = 200
     max_epochs: int = 20
     seed: int = 0
@@ -87,6 +91,7 @@ class TaskConfig:
             cell=self.cell,
             readout=self.readout,
             max_len=max(self.max_seq_length, 512),
+            dropout=self.dropout,
         )
         mode = NetworkMode(self.network_mode)
         if mode == NetworkMode.SOURCE_ENCODER_ONLY:
@@ -116,6 +121,7 @@ class TaskConfig:
             seed=self.seed,
             hard_negative_refresh=self.hard_negative_refresh,
             shuffle_window=self.shuffle_window if self.streaming else 0,
+            ema_decay=self.ema_decay,
         )
 
     # -------------------------------------------------------------- persist

@@ -78,15 +78,28 @@ def init_params(key: jax.Array, cfg: SSEConfig) -> Params:
 
 
 def encode_source(
-    params: Params, cfg: SSEConfig, tokens: jax.Array, lengths: jax.Array
+    params: Params,
+    cfg: SSEConfig,
+    tokens: jax.Array,
+    lengths: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Source text → [B, D] normalized embeddings (un-jitted body; callers
-    own the jit/pjit boundary so serving can fuse encode+score+topk)."""
-    return towers.encode_raw(params["src_tower"], cfg.src_tower, tokens, lengths)
+    own the jit/pjit boundary so serving can fuse encode+score+topk).
+    `dropout_rng` enables the tower's train-time dropout; eval/serving
+    callers pass none and stay deterministic."""
+    return towers.encode_raw(
+        params["src_tower"], cfg.src_tower, tokens, lengths,
+        dropout_rng=dropout_rng,
+    )
 
 
 def encode_target(
-    params: Params, cfg: SSEConfig, tokens: jax.Array, lengths: jax.Array
+    params: Params,
+    cfg: SSEConfig,
+    tokens: jax.Array,
+    lengths: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Target text → [B, D] normalized embeddings (tower modes only)."""
     if cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
@@ -96,9 +109,13 @@ def encode_target(
         )
     if cfg.mode == NetworkMode.SHARED_ENCODER:
         return towers.encode_raw(
-            params["src_tower"], cfg.src_tower, tokens, lengths
+            params["src_tower"], cfg.src_tower, tokens, lengths,
+            dropout_rng=dropout_rng,
         )
-    return towers.encode_raw(params["tgt_tower"], cfg.tgt_tower, tokens, lengths)
+    return towers.encode_raw(
+        params["tgt_tower"], cfg.tgt_tower, tokens, lengths,
+        dropout_rng=dropout_rng,
+    )
 
 
 def target_embeddings(
@@ -107,6 +124,7 @@ def target_embeddings(
     tokens: Optional[jax.Array] = None,
     lengths: Optional[jax.Array] = None,
     rows: Optional[jax.Array] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Normalized target-side embeddings.
 
@@ -122,7 +140,7 @@ def target_embeddings(
         )
     if tokens is None or lengths is None:
         raise ValueError("tower modes need target tokens + lengths")
-    emb = encode_target(params, cfg, tokens, lengths)
+    emb = encode_target(params, cfg, tokens, lengths, dropout_rng=dropout_rng)
     if rows is not None:
         emb = jnp.take(emb, rows, axis=0)
     return emb

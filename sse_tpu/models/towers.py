@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,12 @@ class TowerConfig:
     mlp_ratio: int = 4
     max_len: int = 512
     use_pallas_scan: bool = False  # swap in the Pallas fused-gate kernel
+    # Train-time regularization (reference has none — beyond-reference
+    # quality lever, measured on the hard benchmark): inverted dropout on
+    # the embedded inputs and on the pooled features, active ONLY when
+    # the caller passes a dropout rng (training); eval/serving paths pass
+    # none and are untouched.
+    dropout: float = 0.0
 
 
 def _glorot(key, shape):
@@ -361,12 +367,31 @@ def encode(
     return encode_raw(params, cfg, tokens, lengths)
 
 
+def _dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """Inverted dropout (scale-at-train, identity-at-eval)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 def encode_raw(
-    params: Params, cfg: TowerConfig, tokens: jax.Array, lengths: jax.Array
+    params: Params,
+    cfg: TowerConfig,
+    tokens: jax.Array,
+    lengths: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Un-jitted body (so callers can fuse it into larger programs)."""
+    """Un-jitted body (so callers can fuse it into larger programs).
+
+    `dropout_rng`: pass a PRNG key to enable cfg.dropout (training only);
+    None (the default, and what every eval/serving path passes) keeps the
+    forward fully deterministic."""
+    train = dropout_rng is not None and cfg.dropout > 0.0
     B, L = tokens.shape
     emb = jnp.take(params["embed"], tokens, axis=0)  # [B,L,E] fp32
+    if train:
+        k_in, k_out = jax.random.split(dropout_rng)
+        emb = _dropout(emb, cfg.dropout, k_in)
     pos = jnp.arange(L)[None, :]
     valid = (pos < lengths[:, None]).astype(jnp.float32)  # [B,L]
 
@@ -409,6 +434,8 @@ def encode_raw(
         else:  # transformers default to masked mean pooling
             feats = _masked_mean(states, valid)
 
+    if train:
+        feats = _dropout(feats, cfg.dropout, k_out)
     out = jnp.tanh(
         jnp.dot(
             feats.astype(_COMPUTE_DTYPE),

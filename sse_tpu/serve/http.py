@@ -26,8 +26,13 @@ _DEMO_PAGE = """<!doctype html>
 </body></html>"""
 
 
-def make_handler(engine, index_dir: Optional[str] = None):
-    """`engine` is a QueryEngine or a MicroBatcher wrapping one."""
+def make_handler(
+    engine,
+    index_dir: Optional[str] = None,
+    model_dir: Optional[str] = None,
+):
+    """`engine` is a QueryEngine or a MicroBatcher wrapping one.
+    `model_dir` enables POST /api/reload (hot checkpoint/index reload)."""
     from sse_tpu.serve.batcher import MicroBatcher
 
     batcher = engine if isinstance(engine, MicroBatcher) else None
@@ -35,6 +40,24 @@ def make_handler(engine, index_dir: Optional[str] = None):
         engine = batcher.engine
     lock = threading.Lock()  # non-batched fallback: serialize device access
     stats = ServingStats()
+
+    def reload_engine():
+        """Build a fresh engine from what's ON DISK in model_dir (latest
+        checkpoint + saved index) and swap it in atomically. In-flight
+        queries finish on the old engine; live adds/deletes not persisted
+        via POST /api/save are intentionally discarded (disk is the
+        source of truth for a reload)."""
+        nonlocal engine
+        from sse_tpu.workspace import Workspace  # lazy: avoids the cycle
+
+        ws = Workspace.open(model_dir)
+        new_engine = ws.engine(
+            k=engine.requested_k, max_batch=engine.max_batch
+        )
+        if batcher is not None:
+            batcher.engine = new_engine  # atomic: _loop reads per batch
+        engine = new_engine
+        return new_engine
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -137,6 +160,37 @@ def make_handler(engine, index_dir: Optional[str] = None):
                     "application/json",
                 )
                 return
+            if url.path == "/api/reload":
+                # hot model/index reload: retrain + rebuild offline, then
+                # POST /api/reload — the server picks up the new
+                # checkpoint and index without dropping connections
+                if model_dir is None:
+                    self._send(
+                        400,
+                        b'{"error": "server started without a model_dir"}',
+                        "application/json",
+                    )
+                    return
+                try:
+                    with lock:
+                        new_engine = reload_engine()
+                        n = new_engine.index.num_real
+                except Exception as e:
+                    self._send(
+                        500,
+                        json.dumps({"error": f"reload failed: {e}"}).encode(),
+                        "application/json",
+                    )
+                    return
+                stats.record_reload()
+                self._send(
+                    200,
+                    json.dumps(
+                        {"reloaded": model_dir, "num_targets": n}
+                    ).encode(),
+                    "application/json",
+                )
+                return
             if url.path == "/api/delete":
                 # body: ["id1", "id2", ...] or [{"targetId": ...}, ...]
                 try:
@@ -216,6 +270,7 @@ def serve_http(
     block: bool = True,
     micro_batch: bool = True,
     index_dir: Optional[str] = None,  # enables POST /api/save persistence
+    model_dir: Optional[str] = None,  # enables POST /api/reload hot swap
 ) -> Optional[ThreadingHTTPServer]:
     """`micro_batch=True` coalesces concurrent requests into device
     batches (sse_tpu.serve.batcher) — the production default."""
@@ -224,7 +279,8 @@ def serve_http(
     if micro_batch and isinstance(engine, QueryEngine):
         engine = MicroBatcher(engine)
     server = ThreadingHTTPServer(
-        (host, port), make_handler(engine, index_dir=index_dir)
+        (host, port),
+        make_handler(engine, index_dir=index_dir, model_dir=model_dir),
     )
     if block:
         try:

@@ -26,6 +26,7 @@ class ServingStats:
         self.errors = 0
         self.adds = 0  # /api/add calls
         self.docs_added = 0
+        self.reloads = 0  # /api/reload hot model/index swaps
 
     # ------------------------------------------------------------ record
     def record_query(self, latency_s: float, n_queries: int = 1) -> None:
@@ -47,6 +48,10 @@ class ServingStats:
             self.adds += 1
             self.docs_added += n_docs
 
+    def record_reload(self) -> None:
+        with self._lock:
+            self.reloads += 1
+
     # ---------------------------------------------------------- snapshot
     @staticmethod
     def _pct(sorted_lat: List[float], p: float) -> float:
@@ -66,6 +71,7 @@ class ServingStats:
                 "errors": self.errors,
                 "adds": self.adds,
                 "docs_added": self.docs_added,
+                "reloads": self.reloads,
                 "qps_lifetime": round(self.queries / max(uptime, 1e-9), 2),
                 "latency_p50_ms": round(self._pct(lat, 0.50) * 1e3, 3),
                 "latency_p90_ms": round(self._pct(lat, 0.90) * 1e3, 3),

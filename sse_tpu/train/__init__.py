@@ -11,6 +11,7 @@ from sse_tpu.train.losses import LossConfig, similarity_loss
 from sse_tpu.train.loop import (
     TrainState,
     TrainConfig,
+    inference_params,
     init_train_state,
     make_train_step,
     train,
@@ -21,6 +22,7 @@ __all__ = [
     "similarity_loss",
     "TrainState",
     "TrainConfig",
+    "inference_params",
     "init_train_state",
     "make_train_step",
     "train",

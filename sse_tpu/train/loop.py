@@ -32,7 +32,7 @@ from sse_tpu.train.losses import LossConfig
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["params", "opt_state", "step", "lr"],
+    data_fields=["params", "opt_state", "step", "lr", "ema_params"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -41,6 +41,17 @@ class TrainState:
     opt_state: Any
     step: jax.Array  # int32 scalar
     lr: jax.Array  # float32 scalar (plateau-decayed, checkpointed)
+    # Polyak/EMA-averaged params (TrainConfig.ema_decay > 0); None when
+    # averaging is off. Inference (eval/index/serving) uses these when
+    # present — see inference_params().
+    ema_params: Any = None
+
+
+def inference_params(state: TrainState) -> Any:
+    """The params every inference consumer (eval, index build, serving)
+    should use: the EMA average when training keeps one, else the raw
+    optimization params."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +73,11 @@ class TrainConfig:
     # >0: shuffle within windows of this many examples (memmap locality
     # for streaming corpora); 0 = full-corpus permutation
     shuffle_window: int = 0
+    # >0: keep a Polyak/EMA average of params (decay per step, e.g.
+    # 0.999) and use it for eval/index/serving — smooths SGD noise at
+    # convergence (beyond-reference quality lever, measured on the hard
+    # benchmark in BASELINE.md)
+    ema_decay: float = 0.0
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -83,6 +99,10 @@ def init_train_state(
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         lr=jnp.asarray(cfg.learning_rate, jnp.float32),
+        # seed the average AT the init point: no bias correction needed
+        ema_params=jax.tree.map(jnp.array, params)
+        if cfg.ema_decay > 0
+        else None,
     )
 
 
@@ -111,10 +131,23 @@ def make_train_step(
     tx = make_optimizer(cfg)
     loss_cfg = cfg.loss
     base_key = jax.random.PRNGKey(cfg.seed)
+    # Dropout keys come from a stream DISJOINT from the negative-sampling
+    # stream (both fold in `step`; sharing base_key would correlate them).
+    drop_base = jax.random.PRNGKey(cfg.seed ^ 0x0D0D0D)
+    use_dropout = model_cfg.src_tower.dropout > 0 or (
+        model_cfg.tgt_tower is not None and model_cfg.tgt_tower.dropout > 0
+    )
 
     def loss_fn(params, src, src_len, labels, weight, tgt_tokens, tgt_lens,
                 step, tgt_emb_cache):
-        src_emb = sse.encode_source(params, model_cfg, src, src_len)
+        d_src = d_tgt = None
+        if use_dropout:
+            d_src, d_tgt = jax.random.split(
+                jax.random.fold_in(drop_base, step)
+            )
+        src_emb = sse.encode_source(
+            params, model_cfg, src, src_len, dropout_rng=d_src
+        )
         if loss_cfg.kind == "full":
             tgt_all = sse.target_embeddings(params, model_cfg)
             return losses_lib.similarity_loss(
@@ -144,6 +177,7 @@ def make_train_step(
                 model_cfg,
                 tokens=jnp.take(tgt_tokens, cand_rows, axis=0),
                 lengths=jnp.take(tgt_lens, cand_rows, axis=0),
+                dropout_rng=d_tgt,
             )
         return losses_lib.similarity_loss(
             loss_cfg,
@@ -172,11 +206,18 @@ def make_train_step(
         params = jax.tree.map(
             lambda p, u: p - state.lr * u, state.params, updates
         )
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), ema, params
+            )
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
             step=state.step + 1,
             lr=state.lr,
+            ema_params=ema,
         )
         metrics = {"loss": loss, "accuracy": acc, "grad_norm": gnorm}
         return new_state, metrics
@@ -361,7 +402,7 @@ def train(
                 }
                 t0 = time.perf_counter()
                 if eval_fn is not None:
-                    evals = eval_fn(state.params)
+                    evals = eval_fn(inference_params(state))
                     record.update(evals)
                     score = evals.get(eval_metric, mean_loss)
                     if score > best:

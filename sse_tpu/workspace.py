@@ -34,7 +34,12 @@ from sse_tpu.models.sse import SSEConfig
 from sse_tpu.parallel import make_mesh, param_shardings
 from sse_tpu.serve import QueryEngine
 from sse_tpu.text.subword import SubwordVocab
-from sse_tpu.train import TrainState, init_train_state, train as train_loop
+from sse_tpu.train import (
+    TrainState,
+    inference_params,
+    init_train_state,
+    train as train_loop,
+)
 from sse_tpu.train.checkpoint import CheckpointManager
 from sse_tpu.train.metrics import MetricWriter
 
@@ -160,7 +165,22 @@ class Workspace:
             jax.random.PRNGKey(train_cfg.seed), model_cfg, train_cfg
         )
         mgr = CheckpointManager(self.ckpt_dir)
-        restored = mgr.restore(state)
+        try:
+            restored = mgr.restore(state)
+        except Exception:
+            if state.ema_params is None:
+                raise
+            # ema_decay was turned ON for a run whose existing checkpoints
+            # predate averaging: restore the pre-EMA structure and seed
+            # the average from the restored params
+            import dataclasses as _dc
+
+            restored = mgr.restore(_dc.replace(state, ema_params=None))
+            if restored is not None:
+                restored = _dc.replace(
+                    restored,
+                    ema_params=jax.tree.map(jnp.array, restored.params),
+                )
         if restored is not None:
             state = restored
             if not quiet:
@@ -233,7 +253,7 @@ class Workspace:
             process_count=jax.process_count(),
             mesh=mesh,
         )
-        final = evaluator.evaluate(state.params) if evaluator else {}
+        final = evaluator.evaluate(inference_params(state)) if evaluator else {}
         mgr.save(state, int(state.step), metrics=final or None)
         mgr.wait()
         mgr.close()
@@ -254,7 +274,7 @@ class Workspace:
         import jax.numpy as _jnp
 
         index = build_index(
-            state.params,
+            inference_params(state),
             model_cfg,
             tspace,
             mesh=self.mesh(),
@@ -275,7 +295,9 @@ class Workspace:
         model_cfg = self.model_config(vocab, tspace)
         state, mgr = self.restore_state(model_cfg)
         mgr.close()
-        return Evaluator(model_cfg, eval_pairs, tspace).evaluate(state.params)
+        return Evaluator(model_cfg, eval_pairs, tspace).evaluate(
+            inference_params(state)
+        )
 
     def engine(
         self, data_dir: Optional[str] = None, k: int = 10, max_batch: int = 8
@@ -301,7 +323,7 @@ class Workspace:
         state, mgr = self.restore_state(model_cfg, quiet=True)
         mgr.close()
         return QueryEngine(
-            state.params,
+            inference_params(state),
             model_cfg,
             vocab,
             index,

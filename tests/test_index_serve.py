@@ -689,3 +689,66 @@ def test_concurrent_add_delete_query_http(setup):
     live = set(eng.index.ids[: eng.index.num_real])
     assert "churn0" not in live and tspace.ids[1] not in live
     assert "churn11" in live  # odd-numbered churn docs survive
+
+
+def test_http_hot_reload(tmp_path):
+    """POST /api/reload: the server swaps in whatever is ON DISK in
+    model_dir (latest checkpoint + saved index) without restarting —
+    live adds persisted via /api/save survive a reload; unsaved live
+    mutations are discarded (disk is the source of truth)."""
+    from sse_tpu.configs import preset
+    from sse_tpu.workspace import Workspace
+
+    data = str(tmp_path / "data")
+    tr, ev, tg = synthetic.make_corpus(
+        task="ranking", num_targets=8, train_per_target=6, seed=5
+    )
+    synthetic.write_corpus(data, tr, ev, tg)
+    cfg = preset(
+        "ranking", vocab_size=300, max_seq_length=L, embed_dim=16,
+        hidden=16, encoding_dim=16, batch_size=16, max_epochs=2,
+        steps_per_checkpoint=1000, num_negatives=8, num_hard_negatives=0,
+    )
+    ws = Workspace.create(str(tmp_path / "model"), cfg)
+    ws.train(data)
+    ws.build_index(data, capacity=32)
+    eng = ws.engine(k=3)
+    server = serve_http(
+        eng, port=0, block=False,
+        index_dir=ws.index_dir, model_dir=ws.model_dir,
+    )
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def post(path, payload=None):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode()
+                if payload is not None else b"",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        # add + SAVE → reload keeps the doc (it's on disk)
+        assert post(
+            "/api/add",
+            [{"targetId": "hot1", "targetText": "persisted live doc"}],
+        )["added"] == 1
+        post("/api/save")
+        # add WITHOUT save → reload discards it
+        assert post(
+            "/api/add",
+            [{"targetId": "volatile", "targetText": "unsaved live doc"}],
+        )["num_targets"] == 10
+        out = post("/api/reload")
+        assert out["num_targets"] == 9  # 8 originals + hot1, no volatile
+        with urllib.request.urlopen(
+            base + "/api/query?keywords=persisted+live+doc", timeout=60
+        ) as r:
+            hits = json.loads(r.read())["results"]
+        ids = {h["targetId"] for h in hits}
+        assert "volatile" not in ids
+        with urllib.request.urlopen(base + "/api/stats", timeout=60) as r:
+            assert json.loads(r.read())["reloads"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -153,3 +153,41 @@ def test_bow_tower_baseline():
         np.asarray(encode_source(params, cfg, jnp.asarray(rev), lengths)),
         atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("cell", ["gru", "transformer"])
+def test_dropout_train_vs_eval(cell):
+    """dropout: rng-gated (None → deterministic, identical to a
+    dropout=0 config), different keys → different outputs, same key →
+    reproducible. Eval/serving paths never pass an rng, so a dropout>0
+    config must not change them."""
+    cfg_d = tower(cell=cell, dropout=0.3)
+    cfg_0 = tower(cell=cell, dropout=0.0)
+    params = init_params(
+        jax.random.PRNGKey(0),
+        SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=cfg_d),
+    )
+    tokens, lengths = rand_batch(jax.random.PRNGKey(1))
+    cfg = SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=cfg_d)
+    cfg0 = SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=cfg_0)
+    # no rng: identical to the dropout-free config (serving invariance)
+    a = encode_source(params, cfg, tokens, lengths)
+    b = encode_source(params, cfg0, tokens, lengths)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # rng given: stochastic but reproducible per key
+    r1 = encode_source(
+        params, cfg, tokens, lengths, dropout_rng=jax.random.PRNGKey(7)
+    )
+    r1b = encode_source(
+        params, cfg, tokens, lengths, dropout_rng=jax.random.PRNGKey(7)
+    )
+    r2 = encode_source(
+        params, cfg, tokens, lengths, dropout_rng=jax.random.PRNGKey(8)
+    )
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r1b))
+    assert not np.allclose(np.asarray(r1), np.asarray(a))
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+    # outputs stay L2-normalized under dropout
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(r1), axis=-1), 1.0, atol=1e-3
+    )

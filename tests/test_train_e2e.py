@@ -259,3 +259,115 @@ def test_hard_negative_mining_trains():
         state.params
     )
     assert result["recall@1"] > 0.7, result
+
+
+def test_ema_averaging_and_checkpoint(tmp_path):
+    """EMA (Polyak) averaging: ema_params track the configured decay
+    exactly, checkpoint-roundtrip with the averaged tree, and
+    inference_params() selects them; resuming a pre-EMA checkpoint with
+    ema_decay newly enabled seeds the average from the restored params
+    instead of crashing on a structure mismatch."""
+    from sse_tpu.train import inference_params, make_train_step
+    from sse_tpu.train.loop import TrainState
+
+    vocab, tspace, train_pairs, eval_pairs = build_task("ranking")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER, src_tower=tower(vocab.vocab_size)
+    )
+    d = 0.9
+    cfg = TrainConfig(
+        batch_size=16, learning_rate=0.05, loss=LossConfig(kind="inbatch"),
+        max_epochs=1, ema_decay=d,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    # at init the average IS the params
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_params["src_tower"]["proj_b"]),
+        np.asarray(state.params["src_tower"]["proj_b"]),
+    )
+    step_fn = make_train_step(model_cfg, cfg, donate=False)
+    it = BatchIterator(train_pairs, global_batch_size=16, seed=0)
+    batch = next(it.epoch_batches(0))
+    manual = jax.tree.map(np.asarray, state.params)
+    s = state
+    for _ in range(3):
+        prev = jax.tree.map(np.asarray, s.params)
+        s, _ = step_fn(
+            s, batch.src, batch.src_len, batch.labels, batch.weight,
+            tspace.tokens, tspace.lengths,
+        )
+        manual = jax.tree.map(
+            lambda e, p: e * d + p * (1 - d),
+            manual,
+            jax.tree.map(np.asarray, s.params),
+        )
+    np.testing.assert_allclose(
+        np.asarray(s.ema_params["src_tower"]["proj_w"]),
+        manual["src_tower"]["proj_w"],
+        rtol=2e-5,
+    )
+    assert not np.allclose(
+        np.asarray(s.ema_params["src_tower"]["proj_w"]),
+        np.asarray(s.params["src_tower"]["proj_w"]),
+    )
+    assert inference_params(s) is s.ema_params
+    # checkpoint roundtrip keeps the average
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(s, 3)
+    mgr.wait()
+    abstract = init_train_state(jax.random.PRNGKey(1), model_cfg, cfg)
+    restored = mgr.restore(abstract)
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["src_tower"]["proj_w"]),
+        np.asarray(s.ema_params["src_tower"]["proj_w"]),
+    )
+    mgr.close()
+    # pre-EMA checkpoint + ema newly enabled → Workspace fallback seeds
+    # the average from restored params (exercised via restore_state)
+    import dataclasses as _dc
+    from sse_tpu.configs import preset
+    from sse_tpu.workspace import Workspace
+
+    no_ema = _dc.replace(s, ema_params=None)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt2"))
+    mgr2.save(no_ema, 3)
+    mgr2.wait()
+    mgr2.close()
+    ws = Workspace.create(
+        str(tmp_path / "model"),
+        preset(
+            "ranking", vocab_size=vocab.vocab_size, ema_decay=0.99,
+            embed_dim=32, hidden=32, encoding_dim=16, num_layers=1,
+            network_mode="shared-encoder", max_seq_length=L,
+        ),
+    )
+    import os, shutil
+    shutil.rmtree(ws.ckpt_dir, ignore_errors=True)
+    shutil.copytree(str(tmp_path / "ckpt2"), ws.ckpt_dir)
+    state2, mgr3 = ws.restore_state(model_cfg)
+    mgr3.close()
+    assert state2.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(state2.ema_params["src_tower"]["proj_w"]),
+        np.asarray(state2.params["src_tower"]["proj_w"]),
+    )
+
+
+def test_train_with_dropout_and_ema_e2e():
+    """A short dropout+EMA run trains (loss finite, recall above chance)
+    and returns EMA params for inference."""
+    vocab, tspace, train_pairs, eval_pairs = build_task("ranking")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=dataclasses.replace(tower(vocab.vocab_size), dropout=0.1),
+    )
+    cfg = TrainConfig(
+        batch_size=32, learning_rate=0.05, loss=LossConfig(kind="inbatch"),
+        max_epochs=20, ema_decay=0.98, steps_per_checkpoint=10_000,
+    )
+    evaluator = Evaluator(model_cfg, eval_pairs, tspace, batch_size=32, ks=(1, 5))
+    state = train(model_cfg, cfg, train_pairs, tspace)
+    from sse_tpu.train import inference_params
+
+    after = evaluator.evaluate(inference_params(state))
+    assert after["recall@1"] > 0.5  # far above the 1/8 chance floor
