@@ -209,10 +209,26 @@ def cmd_serve(args) -> int:
     from sse_tpu.workspace import Workspace
 
     ws = Workspace.open(args.model_dir)
+    if not os.environ.get("SSE_COMPILATION_CACHE"):
+        # persistent XLA cache under the model_dir: server restarts (and
+        # /api/reload engine rebuilds) skip the cold serving-program
+        # compile — minutes on remote-compile runtimes
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(ws.model_dir, "xla_cache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
     engine = ws.engine(data_dir=args.data_dir, k=args.k)
+    print("[sse] warming serving programs ...", flush=True)
+    dt = engine.warmup()
     print(
         f"[sse] serving {engine.index.num_real} targets "
-        f"on http://{args.host}:{args.port}  (Ctrl-C to stop)",
+        f"on http://{args.host}:{args.port}  (warmup {dt:.1f}s; "
+        "Ctrl-C to stop)",
         flush=True,
     )
     serve_http(

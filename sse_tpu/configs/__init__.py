@@ -162,12 +162,22 @@ CLASSIFICATION = TaskConfig(
 # corpora saturated at 1.000 and couldn't falsify it); dynamic
 # hard-negative mining (PAPERS.md 2303.15311) is what actually separates
 # cluster siblings. margin/bidirectional remain available as flags.
+#
+# EMA averaging (r2.5, BASELINE.md regularization table): ema_decay=0.999
+# lifts ranking 0.712→0.718 recall@1 / 0.905→0.927 recall@10 and qna
+# 0.733→0.735 / 0.844→0.873 at the 20-epoch schedules, so those presets
+# ship it. It is SCHEDULE-SENSITIVE: at 40 epochs EMA alone amplifies
+# overfitting (ranking 0.678→0.632, crosslingual 0.674→0.559) unless
+# paired with --dropout 0.1 (ranking 40-epoch best: 0.715/0.918 with
+# both) — so the 40-epoch crosslingual preset stays stock, and extending
+# --max_epochs on an EMA preset should add dropout.
 RANKING = TaskConfig(
     task_type="ranking",
     network_mode="dual-encoder",
     loss_kind="sampled",
     num_negatives=128,
     num_hard_negatives=16,
+    ema_decay=0.999,
 )
 # Cross-lingual needs more epochs (no lexical shortcut: the word mapping
 # itself must be learned); hard negatives lift hard-benchmark recall@1
@@ -194,6 +204,7 @@ QNA = TaskConfig(
     num_negatives=128,
     num_hard_negatives=16,
     learning_rate=0.003,
+    ema_decay=0.999,
 )
 
 PRESETS = {

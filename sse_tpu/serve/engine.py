@@ -215,6 +215,25 @@ class QueryEngine:
     # jit compiles one program per bucket shape — bounded by len(buckets).
     _BUCKETS = (8, 16, 32)
 
+    def warmup(self) -> float:
+        """Compile and execute every serving program (one per length
+        bucket) with dummy queries; returns elapsed seconds. Serving
+        entry points call this BEFORE accepting traffic — on tunneled/
+        remote-compile runtimes a cold serving program can take minutes
+        (measured 151 s on the axon link), which would otherwise be paid
+        by (and time out) the first user query."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        widths = [b for b in self._BUCKETS if b < self.max_seq_length]
+        widths.append(self.max_seq_length)
+        lengths = jnp.ones((self.max_batch,), jnp.int32)
+        for w in widths:
+            toks = jnp.zeros((self.max_batch, w), jnp.int32)
+            out = self._fused(self.params, self.index.emb, toks, lengths)
+            jax.tree.map(np.asarray, out)  # completion barrier
+        return _time.perf_counter() - t0
+
     def encode_queries(self, texts: Sequence[str]):
         """Tokenize + pad a query batch to a bucketed static shape (host
         side; C++ native encoder when available — sse_tpu.native)."""

@@ -54,6 +54,10 @@ def make_handler(
         new_engine = ws.engine(
             k=engine.requested_k, max_batch=engine.max_batch
         )
+        # compile the new engine's programs BEFORE the swap: traffic
+        # keeps flowing on the old engine during the (possibly long)
+        # compile instead of timing out on the first post-reload query
+        new_engine.warmup()
         if batcher is not None:
             batcher.engine = new_engine  # atomic: _loop reads per batch
         engine = new_engine
