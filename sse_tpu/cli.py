@@ -155,13 +155,15 @@ def cmd_eval(args) -> int:
         from sse_tpu.evals import evaluate_against_index
         from sse_tpu.index import ShardedIndex
 
+        from sse_tpu.train import inference_params
+
         vocab, tspace, _, eval_pairs = ws.prepare_data(args.data_dir)
         model_cfg = ws.model_config(vocab, tspace)
         state, mgr = ws.restore_state(model_cfg)
         mgr.close()
         index = ShardedIndex.load(ws.index_dir, ws.mesh())
         result = evaluate_against_index(
-            state.params, model_cfg, eval_pairs, index
+            inference_params(state), model_cfg, eval_pairs, index
         )
     else:
         result = ws.evaluate(args.data_dir)

@@ -223,15 +223,23 @@ class QueryEngine:
         (measured 151 s on the axon link), which would otherwise be paid
         by (and time out) the first user query."""
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
         t0 = _time.perf_counter()
         widths = [b for b in self._BUCKETS if b < self.max_seq_length]
         widths.append(self.max_seq_length)
         lengths = jnp.ones((self.max_batch,), jnp.int32)
-        for w in widths:
+
+        def one(w):
             toks = jnp.zeros((self.max_batch, w), jnp.int32)
             out = self._fused(self.params, self.index.emb, toks, lengths)
             jax.tree.map(np.asarray, out)  # completion barrier
+
+        # bucket programs compile independently; XLA releases the GIL
+        # during compilation, so threads overlap the (dominant) compile
+        # time — execution afterwards serializes on the device anyway
+        with ThreadPoolExecutor(max_workers=len(widths)) as pool:
+            list(pool.map(one, widths))
         return _time.perf_counter() - t0
 
     def encode_queries(self, texts: Sequence[str]):

@@ -134,6 +134,51 @@ def make_handler(
 
         def do_POST(self):  # noqa: N802 (stdlib API name)
             url = urlparse(self.path)
+            if url.path == "/api/query":
+                # batch query for bulk clients: ["q1", "q2", ...] (or
+                # {"queries": [...]}) → {"results": [[hits...], ...]},
+                # one device batch instead of N HTTP round trips
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(length))
+                    if isinstance(body, dict):
+                        body = body["queries"]
+                    texts = [str(t) for t in body]
+                    if not texts:
+                        raise ValueError("empty query list")
+                except Exception as e:
+                    self._send(
+                        400,
+                        json.dumps({"error": f"bad body: {e}"}).encode(),
+                        "application/json",
+                    )
+                    return
+                t0 = time.perf_counter()
+                try:
+                    if batcher is not None:
+                        results = batcher.engine.query(texts)
+                    else:
+                        with lock:
+                            results = engine.query(texts)
+                except Exception as e:
+                    stats.record_error()
+                    self._send(
+                        500,
+                        json.dumps({"error": f"query failed: {e}"}).encode(),
+                        "application/json",
+                    )
+                    return
+                stats.record_query(
+                    time.perf_counter() - t0, n_queries=len(texts)
+                )
+                self._send(
+                    200,
+                    json.dumps(
+                        {"results": results}, ensure_ascii=False
+                    ).encode(),
+                    "application/json",
+                )
+                return
             if url.path == "/api/save":
                 # persist live adds/deletes (they are otherwise volatile);
                 # ShardedIndex.save writes Orbax + sidecar atomically

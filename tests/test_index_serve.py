@@ -752,3 +752,44 @@ def test_http_hot_reload(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_batch_query(setup):
+    """POST /api/query with a list body returns per-query result lists
+    in order (bulk-client path: one device batch, not N round trips)."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        texts = [tspace.texts[i] for i in (0, 3, 7, 11, 19)]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/query",
+            data=json.dumps(texts).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())["results"]
+        assert len(out) == len(texts)
+        for hits in out:
+            assert len(hits) == 3 and {"targetId", "score"} <= hits[0].keys()
+        # querying a target's own text should rank that target first
+        assert out[0][0]["targetId"] == tspace.ids[0]
+        # dict form + error form
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/query",
+            data=json.dumps({"queries": texts[:2]}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert len(json.loads(r.read())["results"]) == 2
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/query", data=b"[]"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "empty list must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
