@@ -41,6 +41,28 @@ class MicroBatcher:
     def query(self, texts: Sequence[str]) -> List[List[Dict[str, Any]]]:
         return [self.query_one(t) for t in texts]
 
+    def query_many(
+        self, texts: Sequence[str], timeout: Optional[float] = None
+    ) -> List[List[Dict[str, Any]]]:
+        """Bulk API: enqueue ALL texts, then wait for all — the dispatch
+        loop drains them in max_batch device batches, and they interleave
+        fairly with concurrent single queries (everything goes through
+        the ONE dispatch loop; nothing touches the engine off-thread)."""
+        slots = []
+        for t in texts:
+            done = threading.Event()
+            slot: List[Any] = [None, None]
+            self._q.put((t, slot, done))
+            slots.append((slot, done))
+        out = []
+        for slot, done in slots:
+            if not done.wait(timeout):
+                raise TimeoutError("query timed out")
+            if slot[1] is not None:
+                raise slot[1]
+            out.append(slot[0])
+        return out
+
     @property
     def stats(self) -> Dict[str, int]:
         return dict(self._stats)

@@ -215,24 +215,34 @@ class QueryEngine:
     # jit compiles one program per bucket shape — bounded by len(buckets).
     _BUCKETS = (8, 16, 32)
 
-    def warmup(self) -> float:
+    def _bucket_widths(self) -> List[int]:
+        """The exact set of token widths serving programs compile for —
+        the SINGLE source of truth shared by encode_queries (bucket
+        selection) and warmup (pre-compilation), so a width that can be
+        queried is always a width that was warmed."""
+        return [b for b in self._BUCKETS if b < self.max_seq_length] + [
+            self.max_seq_length
+        ]
+
+    def warmup(self, fused: Optional[Callable] = None) -> float:
         """Compile and execute every serving program (one per length
         bucket) with dummy queries; returns elapsed seconds. Serving
         entry points call this BEFORE accepting traffic — on tunneled/
         remote-compile runtimes a cold serving program can take minutes
         (measured 151 s on the axon link), which would otherwise be paid
-        by (and time out) the first user query."""
+        by (and time out) the first user query. `fused` warms a
+        not-yet-published program (see add_documents' k rebuild)."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
+        fn = self._fused if fused is None else fused
         t0 = _time.perf_counter()
-        widths = [b for b in self._BUCKETS if b < self.max_seq_length]
-        widths.append(self.max_seq_length)
+        widths = self._bucket_widths()
         lengths = jnp.ones((self.max_batch,), jnp.int32)
 
         def one(w):
             toks = jnp.zeros((self.max_batch, w), jnp.int32)
-            out = self._fused(self.params, self.index.emb, toks, lengths)
+            out = fn(self.params, self.index.emb, toks, lengths)
             jax.tree.map(np.asarray, out)  # completion barrier
 
         # bucket programs compile independently; XLA releases the GIL
@@ -251,11 +261,9 @@ class QueryEngine:
         padded = list(texts[:b]) + [""] * (b - min(len(texts), b))
         tokens, lengths = batch_encode(self.vocab, padded, self.max_seq_length)
         longest = int(lengths.max()) if len(texts) else 1
-        width = self.max_seq_length
-        for bucket in self._BUCKETS:
-            if bucket >= longest and bucket < width:
-                width = bucket
-                break
+        # smallest warmed width that fits (lengths are clamped to
+        # max_seq_length, so one always exists)
+        width = next(w for w in self._bucket_widths() if w >= longest)
         return jnp.asarray(tokens[:, :width]), jnp.asarray(lengths)
 
     def add_documents(self, ids: Sequence[str], texts: Sequence[str]) -> int:
@@ -282,9 +290,20 @@ class QueryEngine:
         new_k = min(self.requested_k, self.index.num_real)
         if new_k != self.k:
             # the index grew past the startup clamp: rebuild the fused fn
-            # at the larger k (one-time retrace on the next query)
+            # at the larger k. The new program is WARMED before being
+            # published — concurrent queries keep running the old (warm)
+            # program during the compile, instead of the first
+            # post-growth query paying a cold compile (minutes on
+            # remote-compile runtimes) and timing out.
+            old_k = self.k
             self.k = new_k
-            self._fused = self._build_fused()
+            new_fused = self._build_fused()
+            try:
+                self.warmup(fused=new_fused)
+            except Exception:
+                self.k = old_k  # keep serving the old program
+                raise
+            self._fused = new_fused
         return self.index.num_real
 
     def delete_documents(self, ids: Sequence[str]) -> int:

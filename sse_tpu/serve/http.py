@@ -41,26 +41,30 @@ def make_handler(
     lock = threading.Lock()  # non-batched fallback: serialize device access
     stats = ServingStats()
 
+    reload_lock = threading.Lock()  # serializes concurrent /api/reload
+
     def reload_engine():
         """Build a fresh engine from what's ON DISK in model_dir (latest
-        checkpoint + saved index) and swap it in atomically. In-flight
-        queries finish on the old engine; live adds/deletes not persisted
-        via POST /api/save are intentionally discarded (disk is the
-        source of truth for a reload)."""
+        checkpoint + saved index) and swap it in atomically. The build +
+        warmup (minutes on remote-compile runtimes) runs OUTSIDE the
+        handler lock so queries AND mutations keep flowing on the old
+        engine the whole time; only the swap itself takes the lock.
+        In-flight queries finish on the old engine; live adds/deletes not
+        persisted via POST /api/save are intentionally discarded (disk is
+        the source of truth for a reload)."""
         nonlocal engine
         from sse_tpu.workspace import Workspace  # lazy: avoids the cycle
 
-        ws = Workspace.open(model_dir)
-        new_engine = ws.engine(
-            k=engine.requested_k, max_batch=engine.max_batch
-        )
-        # compile the new engine's programs BEFORE the swap: traffic
-        # keeps flowing on the old engine during the (possibly long)
-        # compile instead of timing out on the first post-reload query
-        new_engine.warmup()
-        if batcher is not None:
-            batcher.engine = new_engine  # atomic: _loop reads per batch
-        engine = new_engine
+        with reload_lock:
+            ws = Workspace.open(model_dir)
+            new_engine = ws.engine(
+                k=engine.requested_k, max_batch=engine.max_batch
+            )
+            new_engine.warmup()
+            with lock:  # atomic swap only
+                if batcher is not None:
+                    batcher.engine = new_engine  # _loop reads per batch
+                engine = new_engine
         return new_engine
 
     class Handler(BaseHTTPRequestHandler):
@@ -143,6 +147,10 @@ def make_handler(
                     body = json.loads(self.rfile.read(length))
                     if isinstance(body, dict):
                         body = body["queries"]
+                    # a bare JSON string would iterate into per-CHARACTER
+                    # queries and 200 with nonsense — require a list
+                    if not isinstance(body, list):
+                        raise ValueError("expected a JSON list of queries")
                     texts = [str(t) for t in body]
                     if not texts:
                         raise ValueError("empty query list")
@@ -156,7 +164,11 @@ def make_handler(
                 t0 = time.perf_counter()
                 try:
                     if batcher is not None:
-                        results = batcher.engine.query(texts)
+                        # through the single dispatch loop — bulk requests
+                        # batch on-device and interleave fairly with
+                        # concurrent singles; the engine is never touched
+                        # from handler threads
+                        results = batcher.query_many(texts, timeout=300)
                     else:
                         with lock:
                             results = engine.query(texts)
@@ -221,9 +233,8 @@ def make_handler(
                     )
                     return
                 try:
-                    with lock:
-                        new_engine = reload_engine()
-                        n = new_engine.index.num_real
+                    new_engine = reload_engine()  # locks internally
+                    n = new_engine.index.num_real
                 except Exception as e:
                     self._send(
                         500,

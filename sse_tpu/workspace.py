@@ -165,22 +165,33 @@ class Workspace:
             jax.random.PRNGKey(train_cfg.seed), model_cfg, train_cfg
         )
         mgr = CheckpointManager(self.ckpt_dir)
+        import dataclasses as _dc
+
         try:
             restored = mgr.restore(state)
         except Exception:
-            if state.ema_params is None:
-                raise
-            # ema_decay was turned ON for a run whose existing checkpoints
-            # predate averaging: restore the pre-EMA structure and seed
-            # the average from the restored params
-            import dataclasses as _dc
-
-            restored = mgr.restore(_dc.replace(state, ema_params=None))
-            if restored is not None:
-                restored = _dc.replace(
-                    restored,
-                    ema_params=jax.tree.map(jnp.array, restored.params),
+            if state.ema_params is not None:
+                # ema_decay turned ON for a run whose checkpoints predate
+                # averaging: restore the pre-EMA structure and seed the
+                # average from the restored params
+                restored = mgr.restore(_dc.replace(state, ema_params=None))
+                if restored is not None:
+                    restored = _dc.replace(
+                        restored,
+                        ema_params=jax.tree.map(jnp.array, restored.params),
+                    )
+            else:
+                # ema_decay turned OFF on checkpoints that carry
+                # ema_params: restore WITH the averaged subtree, then
+                # drop it (raw params win when averaging is disabled)
+                restored = mgr.restore(
+                    _dc.replace(
+                        state,
+                        ema_params=jax.tree.map(jnp.array, state.params),
+                    )
                 )
+                if restored is not None:
+                    restored = _dc.replace(restored, ema_params=None)
         if restored is not None:
             state = restored
             if not quiet:

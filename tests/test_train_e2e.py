@@ -351,6 +351,26 @@ def test_ema_averaging_and_checkpoint(tmp_path):
         np.asarray(state2.ema_params["src_tower"]["proj_w"]),
         np.asarray(state2.params["src_tower"]["proj_w"]),
     )
+    # the REVERSE migration: checkpoints carry ema_params but ema_decay
+    # is turned OFF → restore must drop the averaged subtree (raw params
+    # win), not crash on the structure mismatch
+    ws_off = Workspace.create(
+        str(tmp_path / "model_off"),
+        preset(
+            "ranking", vocab_size=vocab.vocab_size, ema_decay=0.0,
+            embed_dim=32, hidden=32, encoding_dim=16, num_layers=1,
+            network_mode="shared-encoder", max_seq_length=L,
+        ),
+    )
+    shutil.rmtree(ws_off.ckpt_dir, ignore_errors=True)
+    shutil.copytree(str(tmp_path / "ckpt"), ws_off.ckpt_dir)  # HAS ema
+    state3, mgr4 = ws_off.restore_state(model_cfg)
+    mgr4.close()
+    assert state3.ema_params is None
+    np.testing.assert_array_equal(
+        np.asarray(state3.params["src_tower"]["proj_w"]),
+        np.asarray(s.params["src_tower"]["proj_w"]),
+    )
 
 
 def test_train_with_dropout_and_ema_e2e():
