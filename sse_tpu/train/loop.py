@@ -208,7 +208,15 @@ def make_train_step(
         )
         ema = state.ema_params
         if ema is not None:
-            d = cfg.ema_decay
+            # num-updates decay schedule (tf.train.ExponentialMovingAverage
+            # lineage): d_t = min(d, (1+t)/(10+t)) tracks the params
+            # closely early and converges to the configured decay — a
+            # CONSTANT d=0.999 run shorter than its ~1000-step horizon
+            # would keep the average pinned near the INIT params and
+            # serve a near-untrained model (observed: recall 0.06 on an
+            # 8-epoch demo run before this schedule).
+            t = state.step.astype(jnp.float32) + 1.0
+            d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
             ema = jax.tree.map(
                 lambda e, p: e * d + p * (1.0 - d), ema, params
             )

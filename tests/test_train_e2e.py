@@ -290,14 +290,16 @@ def test_ema_averaging_and_checkpoint(tmp_path):
     batch = next(it.epoch_batches(0))
     manual = jax.tree.map(np.asarray, state.params)
     s = state
-    for _ in range(3):
-        prev = jax.tree.map(np.asarray, s.params)
+    for t in range(3):
         s, _ = step_fn(
             s, batch.src, batch.src_len, batch.labels, batch.weight,
             tspace.tokens, tspace.lengths,
         )
+        # num-updates schedule: d_t = min(d, (1+t)/(10+t)), t = pre-step
+        # count + 1 (see make_train_step) — early steps track params
+        dt = min(d, (1.0 + (t + 1)) / (10.0 + (t + 1)))
         manual = jax.tree.map(
-            lambda e, p: e * d + p * (1 - d),
+            lambda e, p: e * dt + p * (1 - dt),
             manual,
             jax.tree.map(np.asarray, s.params),
         )
