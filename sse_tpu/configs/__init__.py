@@ -170,14 +170,14 @@ CLASSIFICATION = TaskConfig(
 # hard-negative mining (PAPERS.md 2303.15311) is what actually separates
 # cluster siblings. margin/bidirectional remain available as flags.
 #
-# EMA averaging (r2.5, BASELINE.md regularization table): ema_decay=0.999
-# lifts ranking 0.712→0.718 recall@1 / 0.905→0.927 recall@10 and qna
-# 0.733→0.735 / 0.844→0.873 at the 20-epoch schedules, so those presets
-# ship it. It is SCHEDULE-SENSITIVE: at 40 epochs EMA alone amplifies
-# overfitting (ranking 0.678→0.632, crosslingual 0.674→0.559) unless
-# paired with --dropout 0.1 (ranking 40-epoch best: 0.715/0.918 with
-# both) — so the 40-epoch crosslingual preset stays stock, and extending
-# --max_epochs on an EMA preset should add dropout.
+# EMA averaging (r2.5, BASELINE.md regularization study): the shipped
+# bias-corrected estimator at ema_decay=0.999 lifts ranking
+# 0.712→0.719 recall@1 / 0.905→0.925 recall@10 and qna 0.733→0.740 /
+# 0.844→0.867 at the 20-epoch schedules, so those presets ship it. It is
+# SCHEDULE-SENSITIVE: at 40 epochs EMA alone amplifies overfitting
+# (ranking 0.678→0.632, crosslingual 0.674→0.559) unless paired with
+# --dropout 0.1 — extending --max_epochs on an EMA preset should add
+# dropout (cf. the 40/60-epoch classification/crosslingual presets).
 RANKING = TaskConfig(
     task_type="ranking",
     network_mode="dual-encoder",

@@ -208,17 +208,24 @@ def make_train_step(
         )
         ema = state.ema_params
         if ema is not None:
-            # num-updates decay schedule (tf.train.ExponentialMovingAverage
-            # lineage): d_t = min(d, (1+t)/(10+t)) tracks the params
-            # closely early and converges to the configured decay — a
-            # CONSTANT d=0.999 run shorter than its ~1000-step horizon
-            # would keep the average pinned near the INIT params and
+            # BIAS-CORRECTED EMA (Adam-style), stored in corrected form:
+            # the state always holds the exact d-weighted average of the
+            # params seen so far, with ema_1 = params. A plain constant-d
+            # average seeded at init keeps ~d^t of its weight on the INIT
+            # params — a run shorter than the ~1/(1-d) horizon would
             # serve a near-untrained model (observed: recall 0.06 on an
-            # 8-epoch demo run before this schedule).
-            t = state.step.astype(jnp.float32) + 1.0
-            d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+            # 8-epoch demo run). The correction removes the init anchor
+            # while keeping the full 1/(1-d) window on long runs (the
+            # num-updates schedule tried first shrank the window to ~t/9
+            # and measurably cost recall@10 — BASELINE.md).
+            d = cfg.ema_decay
+            t = state.step.astype(jnp.float32) + 1.0  # updates incl. this
+            w_old = d * (1.0 - jnp.power(d, t - 1.0))
+            denom = 1.0 - jnp.power(d, t)
             ema = jax.tree.map(
-                lambda e, p: e * d + p * (1.0 - d), ema, params
+                lambda e, p: (w_old * e + (1.0 - d) * p) / denom,
+                ema,
+                params,
             )
         new_state = TrainState(
             params=params,

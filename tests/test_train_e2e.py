@@ -288,21 +288,32 @@ def test_ema_averaging_and_checkpoint(tmp_path):
     step_fn = make_train_step(model_cfg, cfg, donate=False)
     it = BatchIterator(train_pairs, global_batch_size=16, seed=0)
     batch = next(it.epoch_batches(0))
-    manual = jax.tree.map(np.asarray, state.params)
+    # bias-corrected EMA: the state holds the EXACT d-weighted average
+    # of the post-step params seen so far (ema_1 = params_1, no init
+    # anchor) — recompute it from first principles and compare
     s = state
+    history = []
     for t in range(3):
         s, _ = step_fn(
             s, batch.src, batch.src_len, batch.labels, batch.weight,
             tspace.tokens, tspace.lengths,
         )
-        # num-updates schedule: d_t = min(d, (1+t)/(10+t)), t = pre-step
-        # count + 1 (see make_train_step) — early steps track params
-        dt = min(d, (1.0 + (t + 1)) / (10.0 + (t + 1)))
-        manual = jax.tree.map(
-            lambda e, p: e * dt + p * (1 - dt),
-            manual,
-            jax.tree.map(np.asarray, s.params),
-        )
+        history.append(jax.tree.map(np.asarray, s.params))
+    weights = np.array([d ** (len(history) - 1 - i) for i in range(len(history))])
+    weights /= weights.sum()
+    manual = jax.tree.map(
+        lambda *ps: sum(w * p for w, p in zip(weights, ps)), *history
+    )
+    # after ONE step the average must equal the params exactly
+    s1, _ = step_fn(
+        state, batch.src, batch.src_len, batch.labels, batch.weight,
+        tspace.tokens, tspace.lengths,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.ema_params["src_tower"]["proj_w"]),
+        np.asarray(s1.params["src_tower"]["proj_w"]),
+        rtol=1e-5,
+    )
     np.testing.assert_allclose(
         np.asarray(s.ema_params["src_tower"]["proj_w"]),
         manual["src_tower"]["proj_w"],
