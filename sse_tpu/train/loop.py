@@ -92,6 +92,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def init_train_state(
     key: jax.Array, model_cfg: SSEConfig, cfg: TrainConfig
 ) -> TrainState:
+    if not 0.0 <= cfg.ema_decay < 1.0:
+        # d=1.0 would make the bias-corrected update 0/0 -> NaN from
+        # step 1, silently poisoning every inference consumer
+        raise ValueError(
+            f"ema_decay must be in [0, 1), got {cfg.ema_decay}"
+        )
     params = sse.init_params(key, model_cfg)
     tx = make_optimizer(cfg)
     return TrainState(
@@ -99,7 +105,9 @@ def init_train_state(
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         lr=jnp.asarray(cfg.learning_rate, jnp.float32),
-        # seed the average AT the init point: no bias correction needed
+        # the seed value is mathematically irrelevant (the bias-corrected
+        # update gives it zero weight at t=1); a params-shaped copy just
+        # fixes the pytree structure for sharding/checkpointing
         ema_params=jax.tree.map(jnp.array, params)
         if cfg.ema_decay > 0
         else None,

@@ -404,3 +404,16 @@ def test_train_with_dropout_and_ema_e2e():
 
     after = evaluator.evaluate(inference_params(state))
     assert after["recall@1"] > 0.5  # far above the 1/8 chance floor
+
+
+def test_ema_decay_validation():
+    """ema_decay=1.0 would make the bias-corrected update 0/0 → NaN
+    served silently; init must reject it."""
+    vocab, tspace, train_pairs, eval_pairs = build_task("ranking")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER, src_tower=tower(vocab.vocab_size)
+    )
+    with pytest.raises(ValueError, match="ema_decay"):
+        init_train_state(
+            jax.random.PRNGKey(0), model_cfg, TrainConfig(ema_decay=1.0)
+        )
