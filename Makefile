@@ -38,7 +38,18 @@ test:
 clean:
 	rm -rf rawdata-* models-*
 
-parity:  ## run all four reference demo tasks end-to-end (easy smoke corpora), print recall
+parity:  ## THE benchmark (BASELINE.md protocol): 2048 confusable targets, stock presets
+	@for task in classification ranking crosslingual qna; do \
+	  $(PY) -m sse_tpu.cli demo-data --task $$task --profile hard --out_dir rawdata-hard-$$task >/dev/null; \
+	  $(PY) -m sse_tpu.cli train --task_type $$task --data_dir rawdata-hard-$$task \
+	    --model_dir models-hard-$$task --steps_per_checkpoint 1000 \
+	    2>/dev/null | tail -1 | sed "s/^/[hard-$$task] /"; \
+	done
+
+parity-hard: parity  ## alias (historical name)
+
+parity-easy:  ## SMOKE TEST ONLY: the r1 easy corpora — every working model saturates at recall 1.000
+	@echo "[smoke] easy corpora saturate at 1.000 — this verifies plumbing, not quality (use 'make parity')"
 	@for task in classification ranking crosslingual qna; do \
 	  $(PY) -m sse_tpu.cli demo-data --task $$task --out_dir rawdata-$$task --num_targets 64 >/dev/null; \
 	  $(PY) -m sse_tpu.cli train --task_type $$task --data_dir rawdata-$$task \
@@ -46,12 +57,4 @@ parity:  ## run all four reference demo tasks end-to-end (easy smoke corpora), p
 	    --embed_dim 64 --hidden 64 --encoding_dim 64 --vocab_size 2000 \
 	    --max_seq_length 24 --steps_per_checkpoint 1000 --learning_rate 0.03 \
 	    --num_negatives 32 --num_hard_negatives 0 2>/dev/null | tail -1 | sed "s/^/[$$task] /"; \
-	done
-
-parity-hard:  ## the DISCRIMINATIVE benchmark (BASELINE.md protocol): 2048 confusable targets, stock presets
-	@for task in classification ranking crosslingual qna; do \
-	  $(PY) -m sse_tpu.cli demo-data --task $$task --profile hard --out_dir rawdata-hard-$$task >/dev/null; \
-	  $(PY) -m sse_tpu.cli train --task_type $$task --data_dir rawdata-hard-$$task \
-	    --model_dir models-hard-$$task --steps_per_checkpoint 1000 \
-	    2>/dev/null | tail -1 | sed "s/^/[hard-$$task] /"; \
 	done

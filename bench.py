@@ -41,6 +41,19 @@ def main() -> int:
         "unit": result["unit"],
         "vs_baseline": round(result["value"] / 10_000.0, 4),
     }
+    # roofline + sustained-stream context (r2 verdict item 4): achieved
+    # GB/s / GFLOP/s / %-of-spec ride along so the gap to hardware is
+    # tracked in every BENCH_r{N}.json, not re-derived each round
+    for key in (
+        "qps_stream_mean",
+        "ms_per_batch",
+        "achieved_gflops",
+        "achieved_hbm_gbps",
+        "mfu_pct",
+        "hbm_pct_of_spec",
+    ):
+        if key in result:
+            out[key] = result[key]
     print(json.dumps(out))
     return 0
 

@@ -64,6 +64,13 @@ class TaskConfig:
     steps_per_checkpoint: int = 200
     max_epochs: int = 20
     seed: int = 0
+    # >0: per-checkpoint eval scores against a SAMPLED target subset of
+    # this size (all eval labels + random distractors) instead of
+    # re-encoding the full space — the guard for web-scale target spaces
+    # where a full eval per checkpoint costs an index build. Recall on a
+    # subset is an optimistic bound; report final numbers on the full
+    # space (eval --use_index).
+    eval_sample_targets: int = 0
     # index storage precision: float32 | bfloat16 | int8. bf16 halves HBM
     # (2x index rows per chip; fp32 MXU accumulation). int8 quarters it
     # (4x rows per chip): symmetric 127-scale quantization of the

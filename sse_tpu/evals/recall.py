@@ -60,11 +60,24 @@ def _encode_and_topk(
     return jax.lax.top_k(scores, k)
 
 
+# Above this many targets, a per-checkpoint eval re-encodes a target
+# space whose cost rivals an index build; warn loudly unless the caller
+# opted into sampled eval (r2 verdict item: large-eval guard).
+LARGE_EVAL_WARN_TARGETS = 1_000_000
+
+
 class Evaluator:
     """Reference's sse_evaluator.Evaluator analog, fully on-device.
 
     Encodes the full target space once per call (params change between
     calls during training), then scores eval sources in fixed-size batches.
+
+    ``sample_targets=N``: score against a SAMPLED target subset — the
+    union of every eval row's labels plus uniform-random distractors up
+    to N rows. Recall against a subset is an OPTIMISTIC bound (fewer
+    distractors), which is the standard trade for training-time
+    monitoring at web scale; final/reported numbers should use the full
+    space (or `eval --use_index` through the serving path).
     """
 
     def __init__(
@@ -74,22 +87,59 @@ class Evaluator:
         target_space: TargetSpace,
         batch_size: int = 256,
         ks: Sequence[int] = (1, 10),
+        sample_targets: Optional[int] = None,
     ):
         self.model_cfg = model_cfg
         self.pairs = eval_pairs
         self.tspace = target_space
         self.batch_size = batch_size
         self.ks = tuple(ks)
-        self.max_k = min(max(ks), target_space.num_targets)
+        t = target_space.num_targets
+        self._subset: Optional[np.ndarray] = None
+        if sample_targets and sample_targets < t:
+            label_rows = np.asarray(
+                sorted({r for s in eval_pairs.label_sets for r in s}),
+                np.int64,
+            )
+            need = max(sample_targets - len(label_rows), 0)
+            if need:
+                mask = np.ones(t, bool)
+                mask[label_rows] = False
+                pool = np.nonzero(mask)[0]
+                fill = np.random.default_rng(0).choice(
+                    pool, size=min(need, len(pool)), replace=False
+                )
+                subset = np.sort(np.concatenate([label_rows, fill]))
+            else:
+                subset = label_rows
+            self._subset = subset.astype(np.int32)
+        elif t >= LARGE_EVAL_WARN_TARGETS:
+            import sys
+
+            print(
+                f"[sse] WARNING: evaluating against {t:,} targets "
+                "re-encodes the FULL target space every eval call (an "
+                "index build per checkpoint). Pass "
+                "--eval_sample_targets N for sampled training-time "
+                "monitoring, or use `eval --use_index` through the "
+                "serving path for the final number.",
+                file=sys.stderr,
+            )
+        eff_t = t if self._subset is None else len(self._subset)
+        self.max_k = min(max(ks), eff_t)
 
     def encode_targets(self, params) -> jax.Array:
         cfg = self.model_cfg
         if cfg.mode == NetworkMode.SOURCE_ENCODER_ONLY:
-            return sse.target_embeddings(params, cfg)
-        # batch the target tower over the full space
+            emb = sse.target_embeddings(params, cfg)
+            return emb if self._subset is None else emb[self._subset]
+        # batch the target tower over the full (or sampled) space
         embs = []
         toks = self.tspace.tokens
         lens = self.tspace.lengths
+        if self._subset is not None:
+            toks = toks[self._subset]
+            lens = lens[self._subset]
         bs = self.batch_size
         for lo in range(0, toks.shape[0], bs):
             t = toks[lo : lo + bs]
@@ -139,7 +189,10 @@ class Evaluator:
             # round trip per batch (the r2 index-builder lesson); ONE
             # concatenate + fetch at the end keeps the loop async
             outs.append(idx)
-        return np.asarray(jnp.concatenate(outs))[:n]
+        rows = np.asarray(jnp.concatenate(outs))[:n]
+        # sampled eval scores against a subset; map positions back to
+        # GLOBAL target rows so label_sets (global) compare directly
+        return rows if self._subset is None else self._subset[rows]
 
     def evaluate(self, params) -> Dict[str, float]:
         top = self.top_rows(params)

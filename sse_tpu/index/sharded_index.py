@@ -67,6 +67,21 @@ _swap_row = jax.jit(_swap_row_impl)
 _swap_row_donating = jax.jit(_swap_row_impl, donate_argnums=(0,))
 
 
+def _zero_rows_impl(e, lo, hi):
+    row = jnp.arange(e.shape[0])[:, None]
+    return jnp.where(
+        (row >= lo) & (row < hi), jnp.zeros((), e.dtype), e
+    )
+
+
+# delete()'s vacated-row zeroing (one batched pass over [end, old_num_real)):
+# without it, deleted vectors and survivor duplicates persist in padding
+# rows — written to disk by save(), and breaking the zero-row premise the
+# Pallas kernel's reserve-block gate relies on (r2 advisor finding).
+_zero_rows = jax.jit(_zero_rows_impl)
+_zero_rows_donating = jax.jit(_zero_rows_impl, donate_argnums=(0,))
+
+
 @dataclasses.dataclass
 class ShardedIndex:
     emb: jax.Array  # [T_pad, D] float32, P('model', None) when mesh given
@@ -196,6 +211,13 @@ class ShardedIndex:
             # shrink the sidecar so stale entries can't resurface via add()
             del new_ids[end]
             del new_texts[end]
+        if end < self.num_real:
+            # zero the vacated rows [end, old_num_real): masking keeps
+            # queries exact either way, but stale vectors would persist
+            # into save() output and defeat the kernel's zero-reserve-row
+            # block gate that build_index/from_embeddings guarantee
+            fn = _zero_rows if emb is self.emb else _zero_rows_donating
+            emb = fn(emb, jnp.int32(end), jnp.int32(self.num_real))
         if self.mesh is not None:  # keep the row sharding stable
             emb = jax.device_put(
                 emb, NamedSharding(self.mesh, P("model", None))

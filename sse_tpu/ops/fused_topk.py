@@ -130,9 +130,10 @@ def _packed_extract(keys, k):
 def _packed_kernel(
     nr_ref, q_ref, emb_ref, vals_ref, idx_ref,
     rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
-    *, k, block_t, slots,
+    *, k, block_t, slots, group,
 ):
-    """Candidate-HARVEST streaming top-k (r2 roofline redesign, round 2).
+    """Candidate-HARVEST streaming top-k (r2 roofline redesign; r3 adds
+    ROW-GROUP processing for large batches).
 
     Cost analysis drove this shape: the matmul + one row-max is ~1.5 ms
     at B=256, T=1.25M (bf16), while r1's kernel spent ~4 VPU element-ops
@@ -157,6 +158,17 @@ def _packed_kernel(
         total merge work is O(candidates) ≈ B·k·ln(nblocks), not
         O(B·nblocks).
 
+    ROW GROUPS (r3, the B=512 cliff fix): the score matmul runs
+    full-batch (MXU wants it), but everything after it — gate, harvest,
+    fallback, slot buffers — runs per group of ≤``group`` rows with its
+    OWN slot counter and fallback scratch. Two wins: (a) the fallback
+    key scratch and harvest temporaries are [group, BT] not [B, BT], so
+    block_t stays at 4096 for large B instead of shrinking (the r2 VMEM
+    model shrank block_t 4096→1024 at B=512, quadrupling per-block DMA
+    issue cost on a DMA-issue-bound kernel — the measured 30% per-query
+    regression); (b) "any row opens every block" coupling is per-group,
+    so gating/slot burn scale with the group, not the batch.
+
     Tie semantics stay lax.top_k-like on the 11-bit-quantized scores:
     slot order IS (block, col) order, consolidation re-packs slot ids
     into the low key bits, and consolidated survivors occupy slots
@@ -165,6 +177,7 @@ def _packed_kernel(
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     b = rv.shape[0]
+    ngroups = -(-b // group)
     cap = slots + k  # buffer width; [0, k) holds the consolidated top-k
 
     @pl.when(i == 0)
@@ -175,11 +188,12 @@ def _packed_kernel(
         kbuf[:] = jnp.full_like(kbuf, _INT_MIN)
         gbuf[:] = jnp.zeros_like(gbuf)
         kbuf[:, :k] = jnp.full((b, k), _NEG_SINK, jnp.int32)
-        sm[0] = k  # next free slot
-        sm[1] = 0  # fallback-extraction done flag
+        for g in range(ngroups):
+            sm[g, 0] = k  # next free slot (per group)
+            sm[g, 1] = 0  # fallback-extraction done flag (per group)
 
     num_real = nr_ref[0]
-    scores = _block_scores(q_ref[:], emb_ref[:])  # [B, BT] fp32
+    scores_all = _block_scores(q_ref[:], emb_ref[:])  # [B, BT] fp32
     row0 = i * block_t
     # Padding is NOT masked here: index padding rows are zero vectors, so
     # only blocks past the num_real boundary can contain them, and those
@@ -188,44 +202,79 @@ def _packed_kernel(
     # T=1.25M, and a lax.cond around it costs ~2.5 ms — Mosaic emits a
     # copy of the [B, BT] scores for the identity arm on every block.)
     boundary = row0 + block_t > num_real
+
+    for g in range(ngroups):
+        _packed_group_body(
+            g, scores_all, row0, boundary, num_real,
+            rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
+            k=k, cap=cap, group=group, b=b,
+        )
+
+    @pl.when(i == nblocks - 1)
+    def _():
+        for g in range(ngroups):
+            lo, gb = g * group, min(group, b - g * group)
+            _consolidate_group(
+                lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, k=k, cap=cap
+            )
+        vals_ref[:] = _from_sortable(rv[:])
+        idx_ref[:] = ri[:]
+
+
+def _consolidate_group(lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, *, k, cap):
+    """Merge group g's candidate buffer into its running top-k and reset
+    its slot counter. `lo`/`gb` are the group's static row offset/size."""
+    sl = slice(lo, lo + gb)
+    slotv = jax.lax.broadcasted_iota(jnp.int32, (gb, cap), 1)
+    keys = kbuf[sl] | (_IDX_MASK - slotv)  # stored keys are cleared
+    mv, mslot = _packed_extract(keys, k)
+    gsel = jnp.stack(
+        [
+            jnp.sum(
+                jnp.where(slotv == mslot[:, j : j + 1], gbuf[sl], 0),
+                axis=1,
+            )
+            for j in range(k)
+        ],
+        axis=1,
+    )
+    rv[sl] = mv
+    ri[sl] = gsel
+    # threshold at the TOP of the k-th value's quantization bucket:
+    # a later score inside the same bucket ties the k-th and loses to
+    # the earlier slot anyway, so excluding it is exact — and it cuts
+    # borderline crossers that would otherwise trigger appends or the
+    # multi-candidate fallback
+    thr_scr[sl] = _from_sortable(mv[:, k - 1 : k] | jnp.int32(_IDX_MASK))
+    kbuf[sl] = jnp.full((gb, cap), _INT_MIN, jnp.int32)
+    kbuf[sl, :k] = mv
+    gbuf[sl, :k] = gsel
+    sm[g, 0] = k
+
+
+def _packed_group_body(
+    g, scores_all, row0, boundary, num_real,
+    rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
+    *, k, cap, group, b,
+):
+    """One row-group's harvest for one index block (see _packed_kernel)."""
+    lo = g * group
+    gb = min(group, b - lo)
+    sl = slice(lo, lo + gb)
+    scores = scores_all[lo : lo + gb]  # [gb, BT]
     # Gate in sortable-int space with low bits cleared — EXACTLY the
     # candidates' quantization, so the gate can never skip a key that the
     # harvest would have kept (equal quantized score → earlier wins).
-    m_f = jnp.max(scores, axis=1, keepdims=True)  # [B, 1] fp32
+    m_f = jnp.max(scores, axis=1, keepdims=True)  # [gb, 1] fp32
     m_key = _to_sortable(m_f) & ~jnp.int32(_IDX_MASK)
 
-    def consolidate():
-        slotv = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
-        keys = kbuf[:] | (_IDX_MASK - slotv)  # stored keys are cleared
-        mv, mslot = _packed_extract(keys, k)
-        gsel = jnp.stack(
-            [
-                jnp.sum(
-                    jnp.where(slotv == mslot[:, j : j + 1], gbuf[:], 0),
-                    axis=1,
-                )
-                for j in range(k)
-            ],
-            axis=1,
-        )
-        rv[:] = mv
-        ri[:] = gsel
-        # threshold at the TOP of the k-th value's quantization bucket:
-        # a later score inside the same bucket ties the k-th and loses to
-        # the earlier slot anyway, so excluding it is exact — and it cuts
-        # borderline crossers that would otherwise trigger appends or the
-        # multi-candidate fallback
-        thr_scr[:] = _from_sortable(mv[:, k - 1 : k] | jnp.int32(_IDX_MASK))
-        kbuf[:] = jnp.full((b, cap), _INT_MIN, jnp.int32)
-        kbuf[:, :k] = mv
-        gbuf[:, :k] = gsel
-        sm[0] = k
-
-    @pl.when(jnp.any(m_key > rv[:, k - 1 : k]))
+    @pl.when(jnp.any(m_key > rv[sl, k - 1 : k]))
     def _():
-        @pl.when(sm[0] > cap - k)  # room for k more appends
+        @pl.when(sm[g, 0] > cap - k)  # room for k more appends
         def _():
-            consolidate()
+            _consolidate_group(
+                lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, k=k, cap=cap
+            )
 
         # ---- O(1)-pass candidate harvest: each score > thr contributes
         # (2^19 + column) to a per-row int sum, so ONE reduction yields
@@ -241,8 +290,10 @@ def _packed_kernel(
             jnp.int32, scores.shape, 1
         )
         harvest = jnp.sum(
-            jnp.where(scores > thr_scr[:], colp, 0), axis=1, keepdims=True
-        )  # [B, 1]
+            jnp.where(scores > thr_scr[sl], colp, 0),
+            axis=1,
+            keepdims=True,
+        )  # [gb, 1]
         cnt_row = jax.lax.shift_right_arithmetic(harvest, _SHIFT)
         col_row = harvest & ((1 << _SHIFT) - 1)
         # rows with exactly TWO crossers are resolved analytically below
@@ -259,63 +310,66 @@ def _packed_kernel(
             # thresholds, one buffer slot per executed pass
             colg = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             key = _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
-            keys_scr[:] = key | (_IDX_MASK - colg)
+            kslice = slice(0, gb)  # scratch is [group, BT]; use gb rows
+            keys_scr[kslice] = key | (_IDX_MASK - colg)
 
             # local padding mask: only boundary blocks pay it (they are
             # routed into this fallback by construction)
             @pl.when(boundary)
             def _(colg=colg):
-                keys_scr[:] = jnp.where(
+                keys_scr[kslice] = jnp.where(
                     row0 + colg < num_real,
-                    keys_scr[:],
+                    keys_scr[kslice],
                     _NEG_SINK | (_IDX_MASK - colg),
                 )
-            sm[1] = 0
-            thr = rv[:, k - 1 : k]
+            sm[g, 1] = 0
+            thr = rv[sl, k - 1 : k]
             for j in range(k):
 
-                @pl.when(sm[1] == 0)
+                @pl.when(sm[g, 1] == 0)
                 def _(j=j, thr=thr):
-                    keys = keys_scr[:]
-                    m = jnp.max(keys, axis=1, keepdims=True)  # [B, 1]
+                    keys = keys_scr[kslice]
+                    m = jnp.max(keys, axis=1, keepdims=True)  # [gb, 1]
                     useless = m <= thr
 
                     @pl.when(jnp.all(useless))
                     def _():
-                        sm[1] = 1
+                        sm[g, 1] = 1
 
                     @pl.when(jnp.logical_not(jnp.all(useless)))
                     def _(m=m, useless=useless, keys=keys):
-                        slot = sm[0]
+                        slot = sm[g, 0]
                         slotv = jax.lax.broadcasted_iota(
-                            jnp.int32, (b, cap), 1
+                            jnp.int32, (gb, cap), 1
                         )
                         hit = slotv == slot
-                        kbuf[:] = jnp.where(
+                        kbuf[sl] = jnp.where(
                             hit,
                             jnp.where(
                                 useless, _INT_MIN,
                                 m & ~jnp.int32(_IDX_MASK),
                             ),
-                            kbuf[:],
+                            kbuf[sl],
                         )
-                        gbuf[:] = jnp.where(
+                        gbuf[sl] = jnp.where(
                             hit,
                             row0 + (_IDX_MASK - (m & _IDX_MASK)),
-                            gbuf[:],
+                            gbuf[sl],
                         )
-                        sm[0] = slot + 1
-                        keys_scr[:] = jnp.where(keys == m, _INT_MIN, keys)
+                        sm[g, 0] = slot + 1
+                        keys_scr[kslice] = jnp.where(
+                            keys == m, _INT_MIN, keys
+                        )
 
         @pl.when(jnp.logical_not(multi))
         def _():
             def append(vals_col, gidx_col):
-                slot = sm[0]
-                slotv = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+                slot = sm[g, 0]
+                slotv = jax.lax.broadcasted_iota(jnp.int32, (gb, cap), 1)
                 hit = slotv == slot
-                kbuf[:] = jnp.where(hit, vals_col, kbuf[:])
-                gbuf[:] = jnp.where(hit, gidx_col, gbuf[:])
-                sm[0] = slot + 1
+                kbuf[sl] = jnp.where(hit, vals_col, kbuf[sl])
+                gbuf[sl] = jnp.where(hit, gidx_col, gbuf[sl])
+                sm[g, 0] = slot + 1
 
             pair = jnp.any(cnt_row == 2)
 
@@ -341,7 +395,7 @@ def _packed_kernel(
                     jnp.where(ismax, NEG, scores), axis=1, keepdims=True
                 )
                 val2 = jnp.where(
-                    v2 > thr_scr[:],
+                    v2 > thr_scr[sl],
                     _to_sortable(v2) & ~jnp.int32(_IDX_MASK),
                     m_key,
                 )
@@ -365,12 +419,6 @@ def _packed_kernel(
                         jnp.where(cnt_row == 1, m_key, _INT_MIN),
                         row0 + col_row,
                     )
-
-    @pl.when(i == nblocks - 1)
-    def _():
-        consolidate()
-        vals_ref[:] = _from_sortable(rv[:])
-        idx_ref[:] = ri[:]
 
 
 def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
@@ -408,26 +456,34 @@ def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
         idx_ref[:] = ri[:]
 
 
+DEFAULT_GROUP = 256  # harvest row-group size (see _packed_kernel)
+
+
 def pick_block_t(
-    t_pad: int, batch: int, d: int, itemsize: int, packed: bool = True
+    t_pad: int, batch: int, d: int, itemsize: int, packed: bool = True,
+    group: Optional[int] = None,
 ) -> Optional[int]:
     """Largest block_t dividing t_pad that fits the VMEM budget; None if
     no worthwhile block size exists (tiny index → XLA path is fine).
 
-    Footprint model (r2 harvest kernel, which runs with
+    Footprint model (r3 row-group harvest kernel, which runs with
     vmem_limit_bytes=64 MiB — v5e/v5p carry 128 MiB physical VMEM):
-    fp32 scores [B, BT] + fallback key scratch [B, BT] + ~2 [B, BT]
+    fp32 scores [B, BT] + fallback key scratch [G, BT] + ~2 [G, BT]
     harvest temporaries on the compiler stack + 2 pipelined emb blocks
-    [BT, D]; the exact variant skips the key/harvest buffers. The 40 MiB
-    model budget leaves ~24 MiB compiler headroom (validated on v5e at
-    B=256). 4096 cap keeps the packed variant's 12 index bits
-    sufficient."""
+    [BT, D], where G = min(batch, group) — the r2 model charged the
+    FULL batch for all four buffers, which shrank block_t 4096→1024 at
+    B=512 and caused the measured 30% per-query regression (per-block
+    DMA issue cost is what binds this kernel). The exact variant skips
+    the key/harvest buffers. The 40 MiB model budget leaves ~24 MiB
+    compiler headroom (validated on v5e at B=256). 4096 cap keeps the
+    packed variant's 12 index bits sufficient."""
     budget = 40 * 1024 * 1024
-    score_bufs = 4 if packed else 2
+    g = min(batch, group or DEFAULT_GROUP)
+    per_bt = (batch + 3 * g) * 4 if packed else 2 * batch * 4
     for bt in (4096, 2048, 1024, 512):
         if t_pad % bt:
             continue
-        if score_bufs * batch * bt * 4 + 2 * bt * d * itemsize <= budget:
+        if per_bt * bt + 2 * bt * d * itemsize <= budget:
             return bt
     return None
 
@@ -460,7 +516,8 @@ def fused_score_topk(
     if variant == "packed" and block_t > _IDX_MASK + 1:
         raise ValueError(f"packed variant needs block_t <= {_IDX_MASK + 1}")
     nblocks = t_pad // block_t
-    del group  # r2 harvest kernel is full-batch; kept for API compat
+    group = min(b, group or DEFAULT_GROUP)
+    ngroups = -(-b // group)
     # the consolidation schedule guarantees >= k free buffer entries
     # between merges ONLY when slots >= k; smaller buffers would silently
     # drop candidates appended past `cap` (one-hot slot writes miss)
@@ -472,7 +529,7 @@ def fused_score_topk(
         block_t=block_t,
     )
     if variant == "packed":
-        kernel = functools.partial(kernel, slots=slots)
+        kernel = functools.partial(kernel, slots=slots, group=group)
     if emb.dtype == jnp.int8:
         if q.dtype != jnp.int8:
             q = quantize_queries_int8(q)
@@ -498,10 +555,14 @@ def fused_score_topk(
                 pltpu.VMEM((b, k), jnp.int32),  # rv: running packed keys
                 pltpu.VMEM((b, k), jnp.int32),  # ri: running global rows
                 pltpu.VMEM((b, 1), jnp.float32),  # thr: fp32 running k-th
-                pltpu.VMEM((b, block_t), jnp.int32),  # fallback keys
+                # fallback keys: ONE row-group wide (groups run
+                # sequentially, so the scratch is reused — this is what
+                # keeps block_t at 4096 for large B)
+                pltpu.VMEM((group, block_t), jnp.int32),
                 pltpu.VMEM((b, cap), jnp.int32),  # candidate keys buffer
                 pltpu.VMEM((b, cap), jnp.int32),  # candidate global rows
-                pltpu.SMEM((2,), jnp.int32),  # [next slot, fallback done]
+                # per-group [next slot, fallback done]
+                pltpu.SMEM((ngroups, 2), jnp.int32),
             ]
             if variant == "packed"
             else [

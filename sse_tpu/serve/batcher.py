@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Any, Dict, List, Optional, Sequence
 
 from sse_tpu.serve.engine import QueryEngine
@@ -47,7 +48,14 @@ class MicroBatcher:
         """Bulk API: enqueue ALL texts, then wait for all — the dispatch
         loop drains them in max_batch device batches, and they interleave
         fairly with concurrent single queries (everything goes through
-        the ONE dispatch loop; nothing touches the engine off-thread)."""
+        the ONE dispatch loop; nothing touches the engine off-thread).
+
+        `timeout` bounds the WHOLE call (one shared deadline), not each
+        item — a per-item wait would let a bulk call block for up to
+        len(texts)*timeout (r2 advisor finding)."""
+        deadline = (
+            None if timeout is None else time.monotonic() + timeout
+        )
         slots = []
         for t in texts:
             done = threading.Event()
@@ -56,7 +64,12 @@ class MicroBatcher:
             slots.append((slot, done))
         out = []
         for slot, done in slots:
-            if not done.wait(timeout):
+            remaining = (
+                None if deadline is None else deadline - time.monotonic()
+            )
+            if remaining is not None and remaining <= 0:
+                raise TimeoutError("query timed out")
+            if not done.wait(remaining):
                 raise TimeoutError("query timed out")
             if slot[1] is not None:
                 raise slot[1]

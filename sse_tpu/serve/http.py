@@ -16,6 +16,22 @@ from urllib.parse import parse_qs, urlparse
 from sse_tpu.serve.engine import QueryEngine
 from sse_tpu.serve.stats import ServingStats
 
+# Request-body hardening (the reference's webserver trusted the network;
+# a "production default" front end must not): a single oversized POST is
+# rejected with 413 BEFORE the body is read into memory, mutation batches
+# are bounded, and non-JSON content types get 415.
+MAX_BODY_BYTES = 16 << 20  # 16 MiB — far above any sane query/add batch
+MAX_DOCS_PER_REQUEST = 4096  # /api/add & /api/delete per-call bound
+
+
+class _HttpError(Exception):
+    """Request-level error carrying its HTTP status code."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+        self.msg = msg
+
 _DEMO_PAGE = """<!doctype html>
 <html><head><title>SSE-TPU demo</title></head>
 <body style="font-family:sans-serif;max-width:40em;margin:2em auto">
@@ -74,6 +90,49 @@ def make_handler(
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _send_error(self, e: "_HttpError"):
+            self._send(
+                e.code,
+                json.dumps({"error": e.msg}).encode(),
+                "application/json",
+            )
+
+        def _json_body(self):
+            """Parse the JSON request body with the hardening gates:
+            oversized bodies 413 WITHOUT reading them, wrong content type
+            415, malformed JSON 400 (raised as _HttpError)."""
+            ctype = (
+                (self.headers.get("Content-Type") or "application/json")
+                .split(";")[0]
+                .strip()
+                .lower()
+            )
+            # x-www-form-urlencoded is what urllib/curl -d send when the
+            # caller doesn't set a type — treat it as "unspecified" (the
+            # body is still parsed as JSON); everything else is 415
+            if ctype not in (
+                "",
+                "application/json",
+                "text/json",
+                "application/x-www-form-urlencoded",
+            ):
+                raise _HttpError(
+                    415, f"unsupported content type: {ctype} (send JSON)"
+                )
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                raise _HttpError(400, "bad Content-Length header")
+            if length > MAX_BODY_BYTES:
+                raise _HttpError(
+                    413,
+                    f"body too large: {length} > {MAX_BODY_BYTES} bytes",
+                )
+            try:
+                return json.loads(self.rfile.read(length))
+            except Exception as e:
+                raise _HttpError(400, f"bad body: {e}")
 
         def do_GET(self):  # noqa: N802 (stdlib API name)
             url = urlparse(self.path)
@@ -143,8 +202,7 @@ def make_handler(
                 # {"queries": [...]}) → {"results": [[hits...], ...]},
                 # one device batch instead of N HTTP round trips
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    body = json.loads(self.rfile.read(length))
+                    body = self._json_body()
                     if isinstance(body, dict):
                         body = body["queries"]
                     # a bare JSON string would iterate into per-CHARACTER
@@ -154,6 +212,9 @@ def make_handler(
                     texts = [str(t) for t in body]
                     if not texts:
                         raise ValueError("empty query list")
+                except _HttpError as e:
+                    self._send_error(e)
+                    return
                 except Exception as e:
                     self._send(
                         400,
@@ -254,12 +315,22 @@ def make_handler(
             if url.path == "/api/delete":
                 # body: ["id1", "id2", ...] or [{"targetId": ...}, ...]
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    body = json.loads(self.rfile.read(length))
+                    body = self._json_body()
+                    if not isinstance(body, list):
+                        raise ValueError("expected a JSON list of ids")
+                    if len(body) > MAX_DOCS_PER_REQUEST:
+                        raise _HttpError(
+                            413,
+                            f"too many ids: {len(body)} > "
+                            f"{MAX_DOCS_PER_REQUEST} per request",
+                        )
                     ids = [
                         d["targetId"] if isinstance(d, dict) else str(d)
                         for d in body
                     ]
+                except _HttpError as e:
+                    self._send_error(e)
+                    return
                 except Exception as e:
                     self._send(
                         400,
@@ -277,6 +348,15 @@ def make_handler(
                         "application/json",
                     )
                     return
+                except Exception as e:  # device failure → JSON 500, not a
+                    # dropped connection (r2 advisor: mirror /api/add)
+                    stats.record_error()
+                    self._send(
+                        500,
+                        json.dumps({"error": f"delete failed: {e}"}).encode(),
+                        "application/json",
+                    )
+                    return
                 self._send(
                     200,
                     json.dumps(
@@ -289,10 +369,20 @@ def make_handler(
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                docs = json.loads(self.rfile.read(length))
+                docs = self._json_body()
+                if not isinstance(docs, list):
+                    raise ValueError("expected a JSON list of documents")
+                if len(docs) > MAX_DOCS_PER_REQUEST:
+                    raise _HttpError(
+                        413,
+                        f"too many documents: {len(docs)} > "
+                        f"{MAX_DOCS_PER_REQUEST} per request",
+                    )
                 ids = [d["targetId"] for d in docs]
                 texts = [d["targetText"] for d in docs]
+            except _HttpError as e:
+                self._send_error(e)
+                return
             except Exception as e:
                 self._send(
                     400,

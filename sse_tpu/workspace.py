@@ -206,7 +206,14 @@ class Workspace:
         model_cfg = self.model_config(vocab, tspace)
         state, mgr = self.restore_state(model_cfg)
         evaluator = (
-            Evaluator(model_cfg, eval_pairs, tspace) if eval_pairs else None
+            Evaluator(
+                model_cfg,
+                eval_pairs,
+                tspace,
+                sample_targets=self.cfg.eval_sample_targets or None,
+            )
+            if eval_pairs
+            else None
         )
         # retain the best-recall checkpoint when we have an eval signal
         if evaluator is not None:

@@ -793,3 +793,145 @@ def test_http_batch_query(setup):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_index_delete_zeros_vacated_rows():
+    """Vacated rows [new_num_real, old_num_real) must be ZERO vectors
+    after delete(): stale vectors would persist into save() output and
+    break the kernel's zero-reserve-row block-gate premise (r2 advisor)."""
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    rng = np.random.default_rng(3)
+    for doomed in (["id3"], ["id7"], ["id2", "id5"], [f"id{i}" for i in range(8)]):
+        emb = rng.normal(size=(8, 4)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        idx = from_embeddings(
+            emb, [f"id{i}" for i in range(8)], [f"t{i}" for i in range(8)],
+            capacity=16,
+        )
+        idx.delete(doomed)
+        tail = np.asarray(idx.emb)[idx.num_real :]
+        np.testing.assert_array_equal(tail, 0)
+
+
+def test_http_body_hardening(setup):
+    """Oversized bodies 413 (rejected BEFORE the body is read), wrong
+    content type 415, mutation batches bounded, and the server keeps
+    serving afterwards (r2 verdict item 7)."""
+    import http.client
+
+    from sse_tpu.serve.http import MAX_BODY_BYTES, MAX_DOCS_PER_REQUEST
+
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L, k=3)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        # 413 from the Content-Length header alone — no body is sent, so
+        # a timely response proves the server never tried to read it
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/api/add")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
+        # wrong content type → 415 (x-www-form-urlencoded is tolerated as
+        # the urllib/curl default; text/plain is not)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/query",
+            data=b"keywords=abc",
+            headers={"Content-Type": "text/plain"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 415"
+        except urllib.error.HTTPError as e:
+            assert e.code == 415
+
+        # mutation batch bound → 413
+        too_many = json.dumps(
+            [f"id{i}" for i in range(MAX_DOCS_PER_REQUEST + 1)]
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/delete", data=too_many
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+
+        # the server still serves after every rejection
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/query?keywords=gudi+foso&n=1",
+            timeout=60,
+        ) as r:
+            assert len(json.loads(r.read())["results"]) == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_batcher_query_many_single_deadline():
+    """query_many's timeout bounds the WHOLE call, not each item
+    (r2 advisor: per-item waits let bulk calls block len*timeout)."""
+    import time as _time
+
+    from sse_tpu.serve.batcher import MicroBatcher
+
+    class SlowEngine:
+        max_batch = 1
+
+        def query(self, texts):
+            _time.sleep(0.25)
+            return [[{"targetId": "x", "score": 1.0}] for _ in texts]
+
+    mb = MicroBatcher(SlowEngine())
+    try:
+        t0 = _time.monotonic()
+        with pytest.raises(TimeoutError):
+            # 8 items through a max_batch=1 engine at 0.25 s each would
+            # take 2 s; a 0.6 s whole-call deadline must fire LONG before
+            # the per-item interpretation's 8 * 0.6 = 4.8 s
+            mb.query_many([f"q{i}" for i in range(8)], timeout=0.6)
+        assert _time.monotonic() - t0 < 1.5
+    finally:
+        mb.close()
+
+
+def test_evaluator_sampled_targets(setup):
+    """sample_targets: (a) covering the whole space == full eval,
+    (b) a strict subset always contains every label row so recall is a
+    well-defined optimistic bound, (c) returned rows are GLOBAL."""
+    from sse_tpu.data import synthetic
+    from sse_tpu.evals import Evaluator
+
+    vocab, tspace, model_cfg, params, tg = setup
+    _, ev_raw, _ = synthetic.make_corpus(
+        task="ranking", num_targets=24, train_per_target=4, seed=9
+    )
+    # restrict eval rows to a handful of targets so a strict subset of
+    # the 24-target space exists (labels are ALWAYS kept in the sample)
+    few = {"t00000", "t00001", "t00002", "t00003"}
+    ev_raw = [(s, tids) for s, tids in ev_raw if set(tids) & few][:12]
+    ev = encode_pairs(vocab, ev_raw, tspace, L)
+    full = Evaluator(model_cfg, ev, tspace, batch_size=32, ks=(1, 5))
+    covering = Evaluator(
+        model_cfg, ev, tspace, batch_size=32, ks=(1, 5), sample_targets=24
+    )
+    assert covering._subset is None  # sample >= space → no-op
+    sub = Evaluator(
+        model_cfg, ev, tspace, batch_size=32, ks=(1, 5), sample_targets=20
+    )
+    assert sub._subset is not None and len(sub._subset) == 20
+    label_rows = {r for s in ev.label_sets for r in s}
+    assert label_rows <= set(sub._subset.tolist())
+    r_full = full.evaluate(params)
+    r_sub = sub.evaluate(params)
+    assert r_sub["recall@1"] >= r_full["recall@1"] - 1e-9  # optimistic bound
+    rows = sub.top_rows(params)
+    assert set(np.unique(rows)) <= set(sub._subset.tolist())

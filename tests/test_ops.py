@@ -138,8 +138,8 @@ def test_fused_topk_fully_padded_shard_interpret(variant):
 
 
 def test_pick_block_t():
-    # r2 model: 4 [B, BT] fp32 buffers (scores + fallback keys + harvest
-    # temps) under the lifted 64 MiB kernel VMEM limit → 4096 at B=256
+    # r3 model: scores are [B, BT] but the fallback/harvest buffers are
+    # [group, BT] (row-group kernel) under the lifted 64 MiB VMEM limit
     assert pick_block_t(4096 * 305, 256, 128, 4) == 4096
     assert pick_block_t(4096 * 305, 256, 128, 2) == 4096
     # exact variant has no key/harvest buffers
@@ -147,8 +147,30 @@ def test_pick_block_t():
     assert pick_block_t(4096 * 305, 64, 128, 4) == 4096
     assert pick_block_t(1000, 8, 128, 4) is None  # no pow2 divisor
     assert pick_block_t(512, 8, 128, 4) == 512
-    # very large batch still falls back to smaller blocks
-    assert pick_block_t(4096 * 16, 1024, 128, 4) == 2048
+    # large batches KEEP block_t=4096 (the r2 full-batch VMEM model
+    # shrank it to 1024 at B=512 — the measured 30% per-query cliff)
+    assert pick_block_t(4096 * 16, 512, 128, 4) == 4096
+    assert pick_block_t(4096 * 16, 1024, 128, 4) == 4096
+    assert pick_block_t(4096 * 16, 2048, 128, 4) == 2048
+
+
+@pytest.mark.parametrize("group", [4, 8, 16, 32])  # 16: tail group of 8
+def test_fused_topk_row_groups_interpret(group):
+    """The r3 row-group kernel must be EXACT for every group size,
+    including groups that don't divide the batch (tail group) and
+    num_real boundaries (per-group fallback masking)."""
+    b, d, t = 24, 32, 1024
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    for num_real in (t, t - 100):
+        vals, idx = fused_score_topk(
+            q, emb, 10, num_real, block_t=256, interpret=True,
+            variant="packed", group=group,
+        )
+        evals, eidx = _reference(q, emb, 10, num_real, quantized=True)
+        np.testing.assert_array_equal(np.asarray(idx), eidx)
+        np.testing.assert_allclose(np.asarray(vals), evals, rtol=2e-2)
 
 
 def test_engine_pallas_flag_cpu_interpret():
