@@ -67,6 +67,17 @@ def cmd_demo_data(args) -> int:
             hard_default if args.profile == "hard" else easy_default
         )
 
+    if args.profile == "scale":
+        n = val("num_targets", 64, 10_000_000) or 10_000_000
+        synthetic.write_scale_corpus(
+            args.out_dir,
+            num_targets=n,
+            train_rows=args.train_per_target or 16_384,
+            eval_rows=args.eval_per_target or 4_096,
+            seed=args.seed,
+        )
+        print(f"[sse] wrote scale corpus ({n} targets) to {args.out_dir}")
+        return 0
     if args.profile == "hard":
         train, ev, targets = synthetic.make_hard_corpus(
             task=args.task,
@@ -74,6 +85,7 @@ def cmd_demo_data(args) -> int:
             cluster_size=args.cluster_size,
             train_per_target=val("train_per_target", 24, 8),
             eval_per_target=val("eval_per_target", 4, 2),
+            train_multi_label_frac=args.train_multi_label_frac,
             seed=args.seed,
         )
     else:
@@ -337,12 +349,21 @@ def main(argv=None) -> int:
     p.add_argument(
         "--profile",
         default="easy",
-        choices=["easy", "hard"],
+        choices=["easy", "hard", "scale"],
         help="easy: r1 demo corpora (saturate at recall 1.0); hard: the "
         "discriminative benchmark (confusable clusters, Zipf words, "
-        "multi-label eval rows — recall@1 ceiling < 0.9)",
+        "multi-label eval rows — recall@1 ceiling < 0.9); scale: 10M+ "
+        "targets streamed to disk for index/serving capstones "
+        "(--train_per_target/--eval_per_target become absolute row "
+        "counts)",
     )
     p.add_argument("--cluster_size", type=int, default=16)
+    p.add_argument(
+        "--train_multi_label_frac", type=float, default=0.0,
+        help="hard profile: fraction of TRAIN rows that are ambiguous "
+        "multi-label (matches the eval distribution; exercises the "
+        "label-set-aware loss masking)",
+    )
     p.set_defaults(fn=cmd_demo_data)
 
     p = sub.add_parser("train", help="train a model (reference: sse_main train)")

@@ -29,10 +29,17 @@ class Batch:
     src_len: np.ndarray  # [B] int32
     labels: np.ndarray  # [B] int32
     weight: np.ndarray  # [B] float32, 0.0 for padding examples
+    # [B, M] int32 -1-padded full label sets (col 0 == labels); None for
+    # single-label corpora — see EncodedPairs.labels_multi
+    labels_multi: Optional[np.ndarray] = None
 
 
 def pad_batch(
-    src: np.ndarray, src_len: np.ndarray, labels: np.ndarray, batch_size: int
+    src: np.ndarray,
+    src_len: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    labels_multi: Optional[np.ndarray] = None,
 ) -> Batch:
     """Pad a possibly-short batch up to `batch_size` with weight-0 rows."""
     n = src.shape[0]
@@ -46,7 +53,14 @@ def pad_batch(
         src_len = np.concatenate([src_len, np.ones((pad,), dtype=src_len.dtype)])
         labels = np.concatenate([labels, np.zeros((pad,), dtype=labels.dtype)])
         weight[n:] = 0.0
-    return Batch(src=src, src_len=src_len, labels=labels, weight=weight)
+        if labels_multi is not None:
+            lm_pad = np.full((pad, labels_multi.shape[1]), -1, np.int32)
+            lm_pad[:, 0] = 0  # mirror the padded `labels` rows
+            labels_multi = np.concatenate([labels_multi, lm_pad])
+    return Batch(
+        src=src, src_len=src_len, labels=labels, weight=weight,
+        labels_multi=labels_multi,
+    )
 
 
 class BatchIterator:
@@ -128,10 +142,12 @@ class BatchIterator:
             idx = perm[lo : lo + self._global_bs]
             # This host's slice of the global batch.
             local = idx[self._pidx :: self._pcount][: self._local_bs]
+            lm = getattr(self._pairs, "labels_multi", None)
             yield pad_batch(
                 self._pairs.src[local],
                 self._pairs.src_len[local],
                 self._pairs.labels[local],
                 self._local_bs,
+                labels_multi=None if lm is None else lm[local],
             )
         self.epoch = epoch + 1

@@ -54,6 +54,13 @@ class EncodedPairs:
     src_len: np.ndarray  # [N] int32
     labels: np.ndarray  # [N] int32 target-space row index (first label)
     label_sets: List[Tuple[int, ...]]  # all correct rows per example
+    # [N, M] int32, -1-padded, column 0 == labels — present only when some
+    # row is MULTI-label (the reference's "t1,t2" TSV convention). The
+    # train step uses it for label-set-aware false-negative masking: a
+    # candidate that is ANY of example i's labels must not be pushed away
+    # as a negative (training on rows[0] alone treats the sibling label
+    # as a negative — r2 verdict quality item).
+    labels_multi: Optional[np.ndarray] = None
 
     @property
     def num_examples(self) -> int:
@@ -279,8 +286,11 @@ def encode_pairs_streaming(
 
     Returns an EncodedPairs whose arrays are read-only ``np.memmap`` views
     (shape-compatible everywhere an in-memory EncodedPairs is accepted;
-    ``label_sets`` holds first-label singletons — multi-label sets matter
-    only for EVAL pairs, which stay in-memory). The cache is keyed on
+    ``label_sets`` holds first-label singletons and ``labels_multi`` stays
+    None — the streaming path trains on the FIRST label of each row;
+    label-set-aware masking of multi-label train rows requires the
+    in-memory path. Multi-label sets always count for EVAL pairs, which
+    stay in-memory). The cache is keyed on
     (vocab content, max_seq_length, TSV size+mtime, target-id order), so
     re-runs reopen the memmaps instantly.
     """
@@ -445,9 +455,20 @@ def encode_pairs(
     if not texts:
         raise ValueError("no usable pairs after encoding")
     src, src_len = batch_encode(vocab, texts, max_seq_length)
+    # multi-label rows → dense [N, M] -1-padded matrix (static shape for
+    # the jitted step; M capped at 8 — beyond that the extra labels add
+    # mask columns but no signal)
+    max_labels = min(max(len(s) for s in label_sets), 8)
+    labels_multi = None
+    if max_labels > 1:
+        labels_multi = np.full((len(label_sets), max_labels), -1, np.int32)
+        for i, s in enumerate(label_sets):
+            row = s[:max_labels]
+            labels_multi[i, : len(row)] = row
     return EncodedPairs(
         src=src,
         src_len=src_len,
         labels=np.asarray(labels, dtype=np.int32),
         label_sets=label_sets,
+        labels_multi=labels_multi,
     )

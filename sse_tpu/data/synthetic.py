@@ -109,6 +109,7 @@ def make_hard_corpus(
     p_distinct: float = 0.3,
     noise_words: int = 2,
     multi_label_frac: float = 0.15,
+    train_multi_label_frac: float = 0.0,
     seed: int = 0,
 ) -> Tuple[List[Tuple[str, List[str]]], List[Tuple[str, List[str]]], List[Tuple[str, str]]]:
     """The DISCRIMINATIVE benchmark profile (round-2 instrument).
@@ -219,11 +220,80 @@ def make_hard_corpus(
         r.shuffle(pairs)
         return pairs
 
-    train_pairs = sample(train_per_target, random.Random(seed + 1), 0.0)
+    # train_multi_label_frac > 0 matches the train distribution to eval:
+    # ambiguous core-only sources carry BOTH sibling labels (the
+    # reference's multi-id TSV convention), which the label-set-aware
+    # loss masks instead of treating the sibling as a negative
+    train_pairs = sample(
+        train_per_target, random.Random(seed + 1), train_multi_label_frac
+    )
     eval_pairs = sample(
         eval_per_target, random.Random(seed + 2), multi_label_frac
     )
     return train_pairs, eval_pairs, target_rows
+
+
+def _word_at(i: int, syllables: int = 3) -> str:
+    """Deterministic unique word for an index (no bank materialization —
+    the scale profile needs 10M-target corpora where rejection-sampled
+    banks would be the bottleneck)."""
+    out = []
+    for _ in range(syllables):
+        out.append(_CONSONANTS[i % len(_CONSONANTS)])
+        out.append(_VOWELS[(i // len(_CONSONANTS)) % len(_VOWELS)])
+        i //= len(_CONSONANTS) * len(_VOWELS)
+    return "".join(out)
+
+
+def write_scale_corpus(
+    out_dir: str,
+    num_targets: int = 10_000_000,
+    train_rows: int = 16_384,
+    eval_rows: int = 4_096,
+    vocab_words: int = 100_000,
+    words_per_target: int = 6,
+    src_words: int = 4,
+    seed: int = 0,
+) -> None:
+    """The SCALE profile: a corpus sized for index/serving capstones
+    (10M+ targets), streamed straight to disk — reference schema, no
+    cluster structure (quality is the HARD profile's job; this one
+    exists so `index`/`eval --use_index`/`serve` can be driven at the
+    north star's corpus size through the real CLI stack). Sources are
+    word subsets of their target's text plus one noise word, so a
+    correctly-built index retrieves them with high recall."""
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    words = [_word_at(i) for i in range(vocab_words)]
+    widx = rng.integers(
+        0, vocab_words, size=(num_targets, words_per_target), dtype=np.int64
+    )
+    with open(
+        os.path.join(out_dir, "targetIDs"), "w", encoding="utf-8"
+    ) as f:
+        for i in range(num_targets):
+            text = " ".join(words[j] for j in widx[i])
+            f.write(f"t{i:08d}\t{text}\n")
+
+    def write_pairs(path: str, n: int, prng):
+        rows = prng.integers(0, num_targets, size=(n,), dtype=np.int64)
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                pick = prng.permutation(words_per_target)[:src_words]
+                ws = [words[widx[r, p]] for p in pick]
+                ws.append(words[int(prng.integers(0, vocab_words))])
+                f.write(f"{' '.join(ws)}\tt{r:08d}\n")
+
+    write_pairs(
+        os.path.join(out_dir, "TrainPairs"), train_rows,
+        np.random.default_rng(seed + 1),
+    )
+    write_pairs(
+        os.path.join(out_dir, "EvalPairs"), eval_rows,
+        np.random.default_rng(seed + 2),
+    )
 
 
 def write_corpus(

@@ -119,22 +119,28 @@ def make_train_step(
     cfg: TrainConfig,
     donate: bool = True,
     packed_width: Optional[int] = None,
+    num_label_cols: int = 1,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
     Signature of the returned fn:
-        step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens)
+        step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens
+                [, tgt_emb_cache, labels_multi])
     `tgt_tokens`/`tgt_lens` are the full device-resident target space (tower
     modes gather candidates from them); pass zeros-shaped dummies in
-    source-encoder-only mode. Shardings follow the input arrays, so the same
-    step runs single-chip or pjit-sharded over a mesh unchanged.
+    source-encoder-only mode. `labels_multi` ([B, M] -1-padded label
+    sets, col 0 == labels) enables label-set-aware false-negative
+    masking for multi-label train rows. Shardings follow the input
+    arrays, so the same step runs single-chip or pjit-sharded over a
+    mesh unchanged.
 
     With ``packed_width=L`` the returned fn instead takes ONE
-    ``[B, L+3]`` int32 operand per batch (src | src_len | labels |
-    bitcast weight) and splits it inside the jit: the hot loop then does
-    a single host→device upload per step instead of four — on
-    high-latency links (tunneled runtimes, DCN-attached hosts) the
-    per-transfer latency is what bounds an async training loop.
+    ``[B, L+3+(M-1)]`` int32 operand per batch (src | src_len | labels |
+    bitcast weight | extra label cols, M = num_label_cols) and splits it
+    inside the jit: the hot loop then does a single host→device upload
+    per step instead of four — on high-latency links (tunneled runtimes,
+    DCN-attached hosts) the per-transfer latency is what bounds an async
+    training loop.
     """
     tx = make_optimizer(cfg)
     loss_cfg = cfg.loss
@@ -147,7 +153,7 @@ def make_train_step(
     )
 
     def loss_fn(params, src, src_len, labels, weight, tgt_tokens, tgt_lens,
-                step, tgt_emb_cache):
+                step, tgt_emb_cache, labels_multi):
         d_src = d_tgt = None
         if use_dropout:
             d_src, d_tgt = jax.random.split(
@@ -159,14 +165,16 @@ def make_train_step(
         if loss_cfg.kind == "full":
             tgt_all = sse.target_embeddings(params, model_cfg)
             return losses_lib.similarity_loss(
-                loss_cfg, src_emb, labels, weight, tgt_all=tgt_all
+                loss_cfg, src_emb, labels, weight, tgt_all=tgt_all,
+                labels_multi=labels_multi,
             )
         # inbatch / sampled: candidates = batch positives ∪ mined hard
         # negatives ∪ K uniform rows
         cand_rows = labels
         if loss_cfg.num_hard_negatives > 0 and tgt_emb_cache is not None:
             hard = losses_lib.mine_hard_negative_rows(
-                src_emb, tgt_emb_cache, labels, loss_cfg.num_hard_negatives
+                src_emb, tgt_emb_cache, labels,
+                loss_cfg.num_hard_negatives, labels_multi=labels_multi,
             )
             cand_rows = jnp.concatenate([cand_rows, hard])
         if loss_cfg.kind == "sampled":
@@ -194,10 +202,11 @@ def make_train_step(
             weight,
             cand_emb=cand_emb,
             cand_rows=cand_rows,
+            labels_multi=labels_multi,
         )
 
     def step_fn(state, src, src_len, labels, weight, tgt_tokens, tgt_lens,
-                tgt_emb_cache=None):
+                tgt_emb_cache=None, labels_multi=None):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params,
             src,
@@ -208,6 +217,7 @@ def make_train_step(
             tgt_lens,
             state.step,
             tgt_emb_cache,
+            labels_multi,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         gnorm = optax.global_norm(updates)
@@ -249,6 +259,7 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     l = packed_width
+    extra = num_label_cols - 1
 
     def packed_step(state, packed, tgt_tokens, tgt_lens,
                     tgt_emb_cache=None):
@@ -258,28 +269,33 @@ def make_train_step(
         weight = jax.lax.bitcast_convert_type(
             packed[:, l + 2], jnp.float32
         )
+        labels_multi = None
+        if extra > 0:
+            labels_multi = jnp.concatenate(
+                [labels[:, None], packed[:, l + 3 : l + 3 + extra]], axis=1
+            )
         return step_fn(
             state, src, src_len, labels, weight, tgt_tokens, tgt_lens,
-            tgt_emb_cache,
+            tgt_emb_cache, labels_multi,
         )
 
     return jax.jit(packed_step, donate_argnums=(0,) if donate else ())
 
 
 def pack_batch(batch: Batch) -> np.ndarray:
-    """Fuse one batch into the single [B, L+3] int32 operand that the
-    packed train step splits on device (see make_train_step)."""
-    return np.concatenate(
-        [
-            batch.src,
-            batch.src_len[:, None],
-            batch.labels[:, None],
-            np.ascontiguousarray(batch.weight, np.float32)
-            .view(np.int32)
-            .reshape(-1, 1),
-        ],
-        axis=1,
-    )
+    """Fuse one batch into the single [B, L+3+(M-1)] int32 operand that
+    the packed train step splits on device (see make_train_step)."""
+    parts = [
+        batch.src,
+        batch.src_len[:, None],
+        batch.labels[:, None],
+        np.ascontiguousarray(batch.weight, np.float32)
+        .view(np.int32)
+        .reshape(-1, 1),
+    ]
+    if batch.labels_multi is not None and batch.labels_multi.shape[1] > 1:
+        parts.append(batch.labels_multi[:, 1:])
+    return np.concatenate(parts, axis=1)
 
 
 def train(
@@ -339,8 +355,12 @@ def train(
         _replicated_global = lambda x: jax.device_put(jnp.asarray(x), _rep)
     else:
         _batch_global = _replicated_global = jnp.asarray
+    lm = getattr(train_pairs, "labels_multi", None)
     step_fn = make_train_step(
-        model_cfg, cfg, packed_width=train_pairs.src.shape[1]
+        model_cfg,
+        cfg,
+        packed_width=train_pairs.src.shape[1],
+        num_label_cols=1 if lm is None else int(lm.shape[1]),
     )
     it = BatchIterator(
         train_pairs,

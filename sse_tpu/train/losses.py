@@ -68,12 +68,23 @@ def full_softmax_loss(
     weight: jax.Array,  # [B]
     scale: float,
     margin: float = 0.0,
+    labels_multi: Optional[jax.Array] = None,  # [B, M] -1-padded
 ) -> Tuple[jax.Array, jax.Array]:
     cos = jnp.dot(src_emb, tgt_all.T, preferred_element_type=jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
     if margin:
-        cols = jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
         cos = cos - margin * (cols == labels[:, None]).astype(cos.dtype)
-    return _weighted_ce(scale * cos, labels, weight)
+    logits = scale * cos
+    if labels_multi is not None and labels_multi.shape[1] > 1:
+        # label-set-aware masking: a multi-label example's OTHER correct
+        # targets are not negatives — mask them out of the softmax (the
+        # designated positive stays column labels[:, 0])
+        extra = labels_multi[:, 1:]  # [B, M-1]; -1 never matches a col
+        false_neg = jnp.any(
+            cols[:, :, None] == extra[:, None, :], axis=2
+        )
+        logits = jnp.where(false_neg, jnp.finfo(logits.dtype).min, logits)
+    return _weighted_ce(logits, labels, weight)
 
 
 def candidate_softmax_loss(
@@ -85,14 +96,24 @@ def candidate_softmax_loss(
     scale: float,
     margin: float = 0.0,
     bidirectional: bool = False,
+    labels_multi: Optional[jax.Array] = None,  # [B, M] -1-padded
 ) -> Tuple[jax.Array, jax.Array]:
     """In-batch / sampled softmax. Candidate column i (< B) is example i's
     positive; any other column holding the same global target row is a
-    false negative and gets masked. Optional additive margin on the
-    positive and bidirectional (t→s over the in-batch square) averaging."""
+    false negative and gets masked. With ``labels_multi`` ([B, M]
+    -1-padded label SETS) a candidate matching ANY of the example's
+    labels is a false negative — multi-label train rows stop pushing
+    their sibling labels away (r2 verdict quality item). Optional
+    additive margin on the positive and bidirectional (t→s over the
+    in-batch square) averaging."""
     B = src_emb.shape[0]
     cos = jnp.dot(src_emb, cand_emb.T, preferred_element_type=jnp.float32)
-    same_target = labels[:, None] == cand_rows[None, :]  # [B, C]
+    if labels_multi is not None and labels_multi.shape[1] > 1:
+        same_target = jnp.any(
+            labels_multi[:, :, None] == cand_rows[None, None, :], axis=1
+        )  # [B, C]; -1 padding never matches a real row
+    else:
+        same_target = labels[:, None] == cand_rows[None, :]  # [B, C]
     own_col = (
         jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
         == jax.lax.broadcasted_iota(jnp.int32, cos.shape, 0)
@@ -126,16 +147,25 @@ def mine_hard_negative_rows(
     tgt_emb_cache: jax.Array,  # [T, D] periodically refreshed target embs
     labels: jax.Array,  # [B]
     num_hard: int,
+    labels_multi: Optional[jax.Array] = None,  # [B, M] -1-padded
 ) -> jax.Array:
     """Top-scoring WRONG targets per example against the cached index
-    (dynamic negative mining, arXiv:2303.15311). Returns [B*num_hard]."""
+    (dynamic negative mining, arXiv:2303.15311). Returns [B*num_hard].
+    With labels_multi, ALL of an example's labels are excluded from its
+    mined negatives (not just the designated first)."""
     sims = jnp.dot(
         jax.lax.stop_gradient(src_emb),
         tgt_emb_cache.T,
         preferred_element_type=jnp.float32,
     )  # [B, T]
     cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-    sims = jnp.where(cols == labels[:, None], -jnp.inf, sims)
+    if labels_multi is not None and labels_multi.shape[1] > 1:
+        own = jnp.any(
+            cols[:, :, None] == labels_multi[:, None, :], axis=2
+        )
+    else:
+        own = cols == labels[:, None]
+    sims = jnp.where(own, -jnp.inf, sims)
     _, hard = jax.lax.top_k(sims, num_hard)  # [B, num_hard]
     return hard.reshape(-1)
 
@@ -149,12 +179,14 @@ def similarity_loss(
     tgt_all: Optional[jax.Array] = None,  # full mode
     cand_emb: Optional[jax.Array] = None,  # inbatch/sampled modes
     cand_rows: Optional[jax.Array] = None,
+    labels_multi: Optional[jax.Array] = None,  # [B, M] label sets
 ) -> Tuple[jax.Array, jax.Array]:
     """Dispatch on cfg.kind → (loss, train_accuracy)."""
     if cfg.kind == "full":
         assert tgt_all is not None
         return full_softmax_loss(
-            src_emb, tgt_all, labels, weight, cfg.scale, margin=cfg.margin
+            src_emb, tgt_all, labels, weight, cfg.scale,
+            margin=cfg.margin, labels_multi=labels_multi,
         )
     assert cand_emb is not None and cand_rows is not None
     return candidate_softmax_loss(
@@ -166,4 +198,5 @@ def similarity_loss(
         cfg.scale,
         margin=cfg.margin,
         bidirectional=cfg.bidirectional,
+        labels_multi=labels_multi,
     )

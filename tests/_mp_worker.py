@@ -20,14 +20,99 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
+if __name__ == "__main__":  # worker process only: the parent pytest
+    # process imports this module for build_problem/params_sums and must
+    # not have its own (8-device) backend config clobbered
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
 
 from sse_tpu.parallel import distributed, make_mesh  # noqa: E402
 
 
+def build_problem(mode: str):
+    """Deterministic tiny problem, identical on every process.
+
+    mode='full':     source-encoder-only + full softmax (the r2 test).
+    mode='flagship': the SHIPPED ranking-preset loss path — dual-encoder
+    towers, sampled softmax + mined hard negatives (whose tgt_emb_cache
+    must stay consistent across processes), multi-label rows exercising
+    the packed labels_multi columns (r2 verdict item 5)."""
+    from sse_tpu.data.corpus import EncodedPairs, TargetSpace
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
+    from sse_tpu.train import LossConfig, TrainConfig
+
+    rng = np.random.default_rng(0)
+    n, l, v, t = 64, 8, 40, 12
+    src = rng.integers(2, v, size=(n, l)).astype(np.int32)
+    src_len = rng.integers(2, l + 1, size=(n,)).astype(np.int32)
+    labels = rng.integers(0, t, size=(n,)).astype(np.int32)
+    labels_multi = None
+    if mode == "flagship":
+        # a quarter of the rows carry a second label (label-set masking)
+        labels_multi = np.full((n, 2), -1, np.int32)
+        labels_multi[:, 0] = labels
+        second = rng.integers(0, t, size=(n,)).astype(np.int32)
+        take = rng.random(n) < 0.25
+        labels_multi[take, 1] = second[take]
+    pairs = EncodedPairs(
+        src=src,
+        src_len=src_len,
+        labels=labels,
+        label_sets=[(int(x),) for x in labels],
+        labels_multi=labels_multi,
+    )
+    tok = (
+        rng.integers(2, v, size=(t, l)).astype(np.int32)
+        if mode == "flagship"
+        else np.zeros((t, l), np.int32)
+    )
+    tspace = TargetSpace(
+        ids=[f"t{i}" for i in range(t)],
+        texts=["x"] * t,
+        tokens=tok,
+        lengths=np.full((t,), l if mode == "flagship" else 1, np.int32),
+        id_to_row={f"t{i}": i for i in range(t)},
+    )
+    tw = TowerConfig(vocab_size=v, embed_dim=8, hidden=8, encoding_dim=8)
+    if mode == "flagship":
+        model_cfg = SSEConfig(
+            mode=NetworkMode.DUAL_ENCODER, src_tower=tw, tgt_tower=tw
+        )
+        cfg = TrainConfig(
+            batch_size=16,
+            max_epochs=2,
+            loss=LossConfig(
+                kind="sampled", num_negatives=16, num_hard_negatives=4
+            ),
+            hard_negative_refresh=3,  # several cache refreshes in 8 steps
+            steps_per_checkpoint=10_000,
+        )
+    else:
+        model_cfg = SSEConfig(
+            mode=NetworkMode.SOURCE_ENCODER_ONLY,
+            src_tower=tw,
+            num_targets=t,
+        )
+        cfg = TrainConfig(
+            batch_size=16,
+            max_epochs=2,
+            loss=LossConfig(kind="full"),
+            steps_per_checkpoint=10_000,
+        )
+    return pairs, tspace, model_cfg, cfg
+
+
+def params_sums(params):
+    leaves = jax.tree.leaves(params)
+    return (
+        float(sum(np.asarray(x).sum() for x in leaves)),
+        float(sum(np.abs(np.asarray(x)).sum() for x in leaves)),
+    )
+
+
 def main() -> int:
     pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
     distributed.initialize(coord, nproc, pid)
     assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.devices()) == 2 * nproc, len(jax.devices())
@@ -35,43 +120,10 @@ def main() -> int:
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
-    from sse_tpu.data.corpus import EncodedPairs, TargetSpace
-    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
     from sse_tpu.parallel.topk import distributed_topk
-    from sse_tpu.train import LossConfig, TrainConfig, train
+    from sse_tpu.train import train
 
-    # ---- deterministic tiny corpus (identical on every process) --------
-    rng = np.random.default_rng(0)
-    n, l, v, t = 64, 8, 40, 12
-    src = rng.integers(2, v, size=(n, l)).astype(np.int32)
-    src_len = rng.integers(2, l + 1, size=(n,)).astype(np.int32)
-    labels = rng.integers(0, t, size=(n,)).astype(np.int32)
-    pairs = EncodedPairs(
-        src=src,
-        src_len=src_len,
-        labels=labels,
-        label_sets=[(int(x),) for x in labels],
-    )
-    tspace = TargetSpace(
-        ids=[f"t{i}" for i in range(t)],
-        texts=["x"] * t,
-        tokens=np.zeros((t, l), np.int32),
-        lengths=np.ones((t,), np.int32),
-        id_to_row={f"t{i}": i for i in range(t)},
-    )
-    model_cfg = SSEConfig(
-        mode=NetworkMode.SOURCE_ENCODER_ONLY,
-        src_tower=TowerConfig(
-            vocab_size=v, embed_dim=8, hidden=8, encoding_dim=8
-        ),
-        num_targets=t,
-    )
-    cfg = TrainConfig(
-        batch_size=16,
-        max_epochs=2,
-        loss=LossConfig(kind="full"),
-        steps_per_checkpoint=10_000,
-    )
+    pairs, tspace, model_cfg, cfg = build_problem(mode)
 
     mesh = make_mesh(data=2 * nproc, model=1)
     state = train(
@@ -83,7 +135,7 @@ def main() -> int:
         process_count=jax.process_count(),
         mesh=mesh,
     )
-    table = np.asarray(state.params["target_table"])  # replicated → host ok
+    table_sum, table_abs = params_sums(state.params)
 
     # ---- cross-process distributed exact top-k -------------------------
     mesh_t = make_mesh(data=1, model=2 * nproc)
@@ -101,8 +153,8 @@ def main() -> int:
         + json.dumps(
             {
                 "pid": pid,
-                "table_sum": float(table.sum()),
-                "table_abs": float(np.abs(table).sum()),
+                "table_sum": table_sum,
+                "table_abs": table_abs,
                 "step": int(state.step),
                 "topk_ok": bool((np.asarray(idx) == expect).all()),
             }

@@ -346,3 +346,26 @@ def test_multi_label_pairs_and_recall(tmp_path):
     # no hit anywhere → contributes 0
     r0 = recall_at_k(np.array([[5, 7, 9]]), [(0,)], ks=(1, 3))
     assert r0["mrr@3"] == 0.0
+
+
+def test_scale_corpus_writer(tmp_path):
+    """The scale profile streams a reference-schema corpus to disk:
+    unique ids, pair labels that exist, and sources whose non-noise words
+    come from their target's text (so index retrieval can succeed)."""
+    synthetic.write_scale_corpus(
+        str(tmp_path), num_targets=500, train_rows=50, eval_rows=20,
+        vocab_words=300,
+    )
+    tg = read_targets_tsv(str(tmp_path / "targetIDs"))
+    assert len(tg) == 500
+    ids = [t for t, _ in tg]
+    assert len(set(ids)) == 500
+    texts = dict(tg)
+    ev = read_pairs_tsv(str(tmp_path / "EvalPairs"))
+    assert len(ev) == 20
+    for src, labels in ev:
+        assert labels[0] in texts
+        tw = set(texts[labels[0]].split())
+        sw = src.split()
+        # 4 of the 5 source words come from the target text
+        assert sum(w in tw for w in sw) >= 4

@@ -24,7 +24,13 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_train_and_topk():
+@pytest.mark.parametrize("mode", ["full", "flagship"])
+def test_two_process_train_and_topk(mode):
+    """mode='full': source-encoder-only full softmax (the r2 coverage).
+    mode='flagship': the SHIPPED ranking loss path — dual-encoder sampled
+    softmax + mined hard negatives (tgt_emb_cache refreshed mid-run, so
+    cross-process cache consistency is on the line) + multi-label rows
+    through the packed labels_multi columns (r2 verdict item 5)."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {
@@ -34,7 +40,7 @@ def test_two_process_train_and_topk():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(i), "2", coord],
+            [sys.executable, _WORKER, str(i), "2", coord, mode],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -58,38 +64,12 @@ def test_two_process_train_and_topk():
     assert r0["topk_ok"] and r1["topk_ok"]
 
     # ... and it matches a single-process run of the same global batches
-    from sse_tpu.data.corpus import EncodedPairs, TargetSpace
-    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
-    from sse_tpu.train import LossConfig, TrainConfig, train
+    import _mp_worker as mpw
+    build_problem, params_sums = mpw.build_problem, mpw.params_sums
+    from sse_tpu.train import train
 
-    rng = np.random.default_rng(0)
-    n, l, v, t = 64, 8, 40, 12
-    src = rng.integers(2, v, size=(n, l)).astype(np.int32)
-    src_len = rng.integers(2, l + 1, size=(n,)).astype(np.int32)
-    labels = rng.integers(0, t, size=(n,)).astype(np.int32)
-    pairs = EncodedPairs(
-        src=src, src_len=src_len, labels=labels,
-        label_sets=[(int(x),) for x in labels],
-    )
-    tspace = TargetSpace(
-        ids=[f"t{i}" for i in range(t)], texts=["x"] * t,
-        tokens=np.zeros((t, l), np.int32), lengths=np.ones((t,), np.int32),
-        id_to_row={f"t{i}": i for i in range(t)},
-    )
-    model_cfg = SSEConfig(
-        mode=NetworkMode.SOURCE_ENCODER_ONLY,
-        src_tower=TowerConfig(
-            vocab_size=v, embed_dim=8, hidden=8, encoding_dim=8
-        ),
-        num_targets=t,
-    )
-    cfg = TrainConfig(
-        batch_size=16, max_epochs=2, loss=LossConfig(kind="full"),
-        steps_per_checkpoint=10_000,
-    )
+    pairs, tspace, model_cfg, cfg = build_problem(mode)
     state = train(model_cfg, cfg, pairs, tspace)
-    table = np.asarray(state.params["target_table"])
-    assert r0["table_sum"] == pytest.approx(float(table.sum()), rel=2e-4)
-    assert r0["table_abs"] == pytest.approx(
-        float(np.abs(table).sum()), rel=2e-4
-    )
+    ref_sum, ref_abs = params_sums(state.params)
+    assert r0["table_sum"] == pytest.approx(ref_sum, rel=2e-4)
+    assert r0["table_abs"] == pytest.approx(ref_abs, rel=2e-4)

@@ -242,3 +242,67 @@ def test_fused_topk_matmul_precision_seed2_interpret():
     )
     evals, eidx = _reference(q, emb, k, t, quantized=True)
     np.testing.assert_array_equal(np.asarray(idx), eidx)
+
+
+@pytest.mark.parametrize("num_real_frac", ["full", "boundary", "half"])
+def test_sharded_pallas_serving_program_interpret(num_real_frac):
+    """The north-star 8-chip serving composition — the Pallas kernel
+    running PER-SHARD inside shard_map over a {model:8} mesh with the
+    cross-shard exact merge — executed end to end (r2 verdict item 2:
+    this composition had never run; every sharded test used the XLA
+    backend). Asserts == the single-device Pallas program, covering
+    per-shard num_real clipping: 'boundary' puts the real/padding edge
+    inside shard 7, 'half' leaves shards 4-7 fully padded."""
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params
+    from sse_tpu.parallel import make_mesh
+    from sse_tpu.serve.engine import build_fused_query_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=TowerConfig(
+            vocab_size=60, embed_dim=16, hidden=16, encoding_dim=16
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    rng = np.random.default_rng(11)
+    t_pad = 8 * 512  # 512 rows/shard = the kernel's smallest block
+    num_real = {"full": t_pad, "boundary": t_pad - 300, "half": t_pad // 2}[
+        num_real_frac
+    ]
+    emb = np.zeros((t_pad, 16), np.float32)
+    emb[:num_real] = rng.normal(size=(num_real, 16))
+    emb[:num_real] /= np.linalg.norm(emb[:num_real], axis=1, keepdims=True)
+    emb = jnp.asarray(_bf16r(emb))
+    tokens = jnp.asarray(rng.integers(2, 60, size=(8, 12)), jnp.int32)
+    lengths = jnp.full((8,), 12, jnp.int32)
+
+    mesh = make_mesh(data=1, model=8)
+    emb_sharded = jax.device_put(emb, NamedSharding(mesh, P("model", None)))
+    sharded_fn = build_fused_query_fn(
+        model_cfg, k=5, num_real=num_real, mesh=mesh, use_pallas=True,
+        interpret=True, pallas_variant="packed",
+    )
+    sv, si = sharded_fn(params, emb_sharded, tokens, lengths)
+
+    single_fn = build_fused_query_fn(
+        model_cfg, k=5, num_real=num_real, use_pallas=True,
+        interpret=True, pallas_variant="packed",
+    )
+    rv, ri = single_fn(params, emb, tokens, lengths)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+    np.testing.assert_allclose(
+        np.asarray(sv), np.asarray(rv), rtol=1e-5, atol=1e-6
+    )
+    # and against the quantized argsort reference (the packed variant
+    # selects on 11-mantissa-bit keys, so near-ties may legitimately
+    # swap vs the exact XLA ranking — compare like with like)
+    from sse_tpu.models import sse as _sse
+
+    q = np.asarray(
+        _sse.encode_source(params, model_cfg, tokens, lengths)
+    ).astype(np.float32)
+    _, eidx = _reference(
+        q, np.asarray(emb, np.float32), 5, num_real, quantized=True
+    )
+    np.testing.assert_array_equal(np.asarray(si), eidx)

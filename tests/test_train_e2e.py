@@ -417,3 +417,47 @@ def test_ema_decay_validation():
         init_train_state(
             jax.random.PRNGKey(0), model_cfg, TrainConfig(ema_decay=1.0)
         )
+
+
+def test_multi_label_train_pairs_end_to_end():
+    """Multi-label TRAIN rows flow through encode_pairs (labels_multi),
+    the packed train step (extra label columns), and the label-set-aware
+    loss — end to end on a tiny hard corpus with ambiguous rows."""
+    tr_raw, ev_raw, tg = synthetic.make_hard_corpus(
+        task="ranking",
+        num_targets=16,
+        cluster_size=4,
+        train_per_target=12,
+        eval_per_target=4,
+        train_multi_label_frac=0.4,
+        seed=3,
+    )
+    assert any(len(ls) > 1 for _, ls in tr_raw)  # ambiguous train rows
+    lines = [s for s, _ in tr_raw] + [t for _, t in tg]
+    vocab = SubwordVocab.build_to_target_size(
+        400, token_counts_from_lines(lines)
+    )
+    tspace = encode_target_space(vocab, tg, L)
+    train_pairs = encode_pairs(vocab, tr_raw, tspace, L)
+    assert train_pairs.labels_multi is not None
+    assert train_pairs.labels_multi.shape[1] == 2
+    np.testing.assert_array_equal(
+        train_pairs.labels_multi[:, 0], train_pairs.labels
+    )
+    eval_pairs = encode_pairs(vocab, ev_raw, tspace, L)
+    model_cfg = SSEConfig(
+        mode=NetworkMode.DUAL_ENCODER,
+        src_tower=tower(vocab.vocab_size),
+        tgt_tower=tower(vocab.vocab_size),
+    )
+    before, after = run_training(
+        model_cfg,
+        LossConfig(kind="sampled", num_negatives=8),
+        tspace,
+        train_pairs,
+        eval_pairs,
+        epochs=40,
+    )
+    # hard-profile tiny corpus: the bar is beating random (1/16) and the
+    # untrained model by a wide margin, not saturation
+    assert after["recall@1"] > max(3 * before["recall@1"], 0.2)
