@@ -130,7 +130,7 @@ def _packed_extract(keys, k):
 def _packed_kernel(
     nr_ref, q_ref, emb_ref, vals_ref, idx_ref,
     rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
-    *, k, block_t, slots, group,
+    *, k, block_t, slots, group, dma_span,
 ):
     """Candidate-HARVEST streaming top-k (r2 roofline redesign; r3 adds
     ROW-GROUP processing for large batches).
@@ -193,22 +193,31 @@ def _packed_kernel(
             sm[g, 1] = 0  # fallback-extraction done flag (per group)
 
     num_real = nr_ref[0]
-    scores_all = _block_scores(q_ref[:], emb_ref[:])  # [B, BT] fp32
-    row0 = i * block_t
-    # Padding is NOT masked here: index padding rows are zero vectors, so
-    # only blocks past the num_real boundary can contain them, and those
-    # blocks are forced into the fallback path below, which masks
-    # locally. (A branchless mask pass costs ~0.4 ms/batch at B=256,
-    # T=1.25M, and a lax.cond around it costs ~2.5 ms — Mosaic emits a
-    # copy of the [B, BT] scores for the identity arm on every block.)
-    boundary = row0 + block_t > num_real
+    # DMA SPAN (r3): the emb block streamed per grid step is
+    # [block_t * dma_span, D] — per-transfer issue cost (what binds this
+    # kernel; measured pure-load ~200 GB/s vs the 819 GB/s spec) is paid
+    # dma_span× less often. The harvest still walks block_t-column
+    # chunks so the packed keys' 12 index bits stay sufficient.
+    for s in range(dma_span):
+        scores_all = _block_scores(
+            q_ref[:], emb_ref[s * block_t : (s + 1) * block_t]
+        )  # [B, BT] fp32
+        row0 = (i * dma_span + s) * block_t
+        # Padding is NOT masked here: index padding rows are zero
+        # vectors, so only blocks past the num_real boundary can contain
+        # them, and those blocks are forced into the fallback path
+        # below, which masks locally. (A branchless mask pass costs
+        # ~0.4 ms/batch at B=256, T=1.25M, and a lax.cond around it
+        # costs ~2.5 ms — Mosaic emits a copy of the [B, BT] scores for
+        # the identity arm on every block.)
+        boundary = row0 + block_t > num_real
 
-    for g in range(ngroups):
-        _packed_group_body(
-            g, scores_all, row0, boundary, num_real,
-            rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
-            k=k, cap=cap, group=group, b=b,
-        )
+        for g in range(ngroups):
+            _packed_group_body(
+                g, scores_all, row0, boundary, num_real,
+                rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
+                k=k, cap=cap, group=group, b=b,
+            )
 
     @pl.when(i == nblocks - 1)
     def _():
@@ -421,7 +430,10 @@ def _packed_group_body(
                     )
 
 
-def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
+def _kernel(
+    nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri,
+    *, k, block_t, dma_span,
+):
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
 
@@ -431,24 +443,27 @@ def _kernel(nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri, *, k, block_t):
         ri[:] = jnp.full_like(ri, 2**30)
 
     num_real = nr_ref[0]
-    scores = _block_scores(q_ref[:], emb_ref[:])  # [B, BT] fp32
-    row0 = i * block_t
-    gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    # Only blocks straddling the real/padding boundary pay the mask pass.
-    scores = jax.lax.cond(
-        row0 + block_t > num_real,
-        lambda s: jnp.where(gidx < num_real, s, NEG),
-        lambda s: s,
-        scores,
-    )
+    for s in range(dma_span):  # see the packed kernel's DMA-span note
+        scores = _block_scores(
+            q_ref[:], emb_ref[s * block_t : (s + 1) * block_t]
+        )  # [B, BT] fp32
+        row0 = (i * dma_span + s) * block_t
+        gidx = row0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        # Only blocks straddling the real/padding boundary pay the mask.
+        scores = jax.lax.cond(
+            row0 + block_t > num_real,
+            lambda sc, gi=gidx: jnp.where(gi < num_real, sc, NEG),
+            lambda sc: sc,
+            scores,
+        )
 
-    bv, bi = _topk_passes(scores, gidx, k)  # block-local top-k [B, k]
-    # fold into running top-k: 2k-wide merge
-    cat_v = jnp.concatenate([rv[:], bv], axis=1)
-    cat_i = jnp.concatenate([ri[:], bi], axis=1)
-    mv, mi = _topk_passes(cat_v, cat_i, k)
-    rv[:] = mv
-    ri[:] = mi
+        bv, bi = _topk_passes(scores, gidx, k)  # block-local top-k [B, k]
+        # fold into running top-k: 2k-wide merge
+        cat_v = jnp.concatenate([rv[:], bv], axis=1)
+        cat_i = jnp.concatenate([ri[:], bi], axis=1)
+        mv, mi = _topk_passes(cat_v, cat_i, k)
+        rv[:] = mv
+        ri[:] = mi
 
     @pl.when(i == nblocks - 1)
     def _():
@@ -499,6 +514,9 @@ def fused_score_topk(
     #                           the selector) | exact (full-precision keys)
     group: Optional[int] = None,  # rows per gated extraction group
     slots: int = 64,  # deferred-merge candidate buffer slots per group
+    dma_span: int = 1,  # emb chunks of block_t streamed per grid step —
+    #                     amortizes per-transfer DMA issue cost; the
+    #                     harvest still walks block_t-column chunks
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (values, row indices) of q @ emb.T without materializing the
     score matrix.
@@ -511,11 +529,14 @@ def fused_score_topk(
     """
     b, d = q.shape
     t_pad = emb.shape[0]
-    if t_pad % block_t:
-        raise ValueError(f"T_pad {t_pad} not a multiple of block_t {block_t}")
+    if t_pad % (block_t * dma_span):
+        raise ValueError(
+            f"T_pad {t_pad} not a multiple of block_t*dma_span "
+            f"{block_t}*{dma_span}"
+        )
     if variant == "packed" and block_t > _IDX_MASK + 1:
         raise ValueError(f"packed variant needs block_t <= {_IDX_MASK + 1}")
-    nblocks = t_pad // block_t
+    nblocks = t_pad // (block_t * dma_span)
     group = min(b, group or DEFAULT_GROUP)
     ngroups = -(-b // group)
     # the consolidation schedule guarantees >= k free buffer entries
@@ -527,6 +548,7 @@ def fused_score_topk(
         _packed_kernel if variant == "packed" else _kernel,
         k=k,
         block_t=block_t,
+        dma_span=dma_span,
     )
     if variant == "packed":
         kernel = functools.partial(kernel, slots=slots, group=group)
@@ -543,7 +565,9 @@ def fused_score_topk(
         in_specs=[
             pl.BlockSpec((b, d), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block_t, d), lambda i, nr: (i, 0), memory_space=pltpu.VMEM
+                (block_t * dma_span, d),
+                lambda i, nr: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[

@@ -306,3 +306,28 @@ def test_sharded_pallas_serving_program_interpret(num_real_frac):
         q, np.asarray(emb, np.float32), 5, num_real, quantized=True
     )
     np.testing.assert_array_equal(np.asarray(si), eidx)
+
+
+@pytest.mark.parametrize("variant", ["exact", "packed"])
+@pytest.mark.parametrize("dma_span", [2, 4])
+def test_fused_topk_dma_span_interpret(dma_span, variant):
+    """dma_span streams several block_t chunks per grid step (per-transfer
+    DMA issue amortization); selection must be identical to span=1,
+    including the num_real boundary landing mid-span."""
+    b, d, t = 8, 32, 2048
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    for num_real in (t, t - 300):
+        v1, i1 = fused_score_topk(
+            q, emb, 10, num_real, block_t=256, interpret=True,
+            variant=variant,
+        )
+        vs, is_ = fused_score_topk(
+            q, emb, 10, num_real, block_t=256, interpret=True,
+            variant=variant, dma_span=dma_span,
+        )
+        np.testing.assert_array_equal(np.asarray(is_), np.asarray(i1))
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(v1), rtol=1e-6
+        )
