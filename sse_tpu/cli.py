@@ -259,12 +259,17 @@ def cmd_bench(args) -> int:
     from sse_tpu import bench as bench_lib
 
     if args.kind == "query":
+        import jax.numpy as jnp
+
         result = bench_lib.run_query_bench(
             model_dir=args.model_dir,
             num_targets=args.num_targets,
             encoding_dim=args.encoding_dim,
             batch=args.batch or 64,
             k=args.k,
+            index_dtype={
+                "bfloat16": jnp.bfloat16, "int8": jnp.int8
+            }.get(args.index_dtype, jnp.float32),
         )
     elif args.kind == "index":
         result = bench_lib.run_index_bench(
@@ -430,6 +435,12 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=None)  # per-kind default
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument(
+        "--index_dtype", default="float32",
+        choices=["float32", "bfloat16", "int8"],
+        help="query bench: index storage precision (serving flagship "
+        "uses bfloat16)",
+    )
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
