@@ -23,6 +23,20 @@ from sse_tpu.index.sharded_index import ShardedIndex
 from sse_tpu.models import sse
 from sse_tpu.models.sse import SSEConfig
 from sse_tpu.ops.fused_topk import fused_score_topk, pick_block_t
+
+# Max emb chunks streamed per kernel grid step (per-transfer DMA issue
+# amortization — sse_tpu.ops.fused_topk dma_span). Raised only on
+# measured wins; 1 = r2 behavior.
+MAX_DMA_SPAN = 1
+
+
+def _pick_span(t_pad_local: int, block_t: Optional[int]) -> int:
+    if not block_t:
+        return 1
+    for s in (4, 2, 1):
+        if s <= MAX_DMA_SPAN and t_pad_local % (block_t * s) == 0:
+            return s
+    return 1
 from sse_tpu.parallel.topk import NEG_INF
 from sse_tpu.text.subword import SubwordVocab
 
@@ -40,7 +54,7 @@ def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t,
     if use_pallas:
         vals, idx = fused_score_topk(
             q, emb_block, k, nr_local, block_t, interpret=interpret,
-            variant=variant,
+            variant=variant, dma_span=_pick_span(t_local, block_t),
         )
         return vals, idx + row0
     if emb_block.dtype == jnp.int8:

@@ -22,3 +22,18 @@ def test_trace_context(tmp_path):
         x.block_until_ready()
     # profiler wrote something
     assert any((tmp_path / "tr").rglob("*")), "no trace output"
+
+
+def test_roofline_fields_and_chip_spec_prefixes():
+    """Roofline math and the longest-prefix chip table ('TPU v5' must not
+    shadow 'TPU v5 lite')."""
+    from sse_tpu.bench import _CHIP_SPECS, _roofline_fields
+
+    out = _roofline_fields(per_iter=0.001, flops=1e9, hbm_bytes=1e8)
+    assert out["achieved_gflops"] == 1000.0
+    assert out["achieved_hbm_gbps"] == 100.0
+    # v5e row precedes the broader v5 prefixes
+    kinds = [k for k, _ in _CHIP_SPECS]
+    assert kinds.index("TPU v5 lite") < kinds.index("TPU v5")
+    lite = dict(_CHIP_SPECS)["TPU v5 lite"]
+    assert lite == (197.0, 819.0)
