@@ -473,34 +473,59 @@ def _kernel(
 
 DEFAULT_GROUP = 256  # harvest row-group size (see _packed_kernel)
 
+# Largest fp32 scores tile [B, BT] that still pipelines well on v5e —
+# MEASURED (r3 bisect, docs/kernels.md): B=256/bt=4096 (1M elems) runs
+# 3.45 ms at T=1.25M; B=512/bt=4096 (2M elems) collapses to 7-12.8 ms
+# while B=512/bt=2048 (1M) runs 5.17 ms = 99k QPS. The binding resource
+# at large B is the scores-tile working set, NOT per-block DMA issue.
+_SCORE_TILE_ELEMS = 1 << 20
+
+
+def pick_kernel_config(
+    t_pad: int, batch: int, d: int, itemsize: int, packed: bool = True
+) -> "tuple[Optional[int], int]":
+    """(block_t, group) for the streaming kernel; (None, _) if no
+    worthwhile block size exists (tiny index → XLA path is fine).
+
+    Policy, measured on v5e (r3 bisect table in docs/kernels.md):
+      * block_t = largest of (4096…512) dividing t_pad whose fp32
+        scores tile batch*block_t stays ≤ 1M elements (the measured
+        pipelining knee) and fits the VMEM model;
+      * at block_t=4096 the batch must NOT be split into row groups
+        (B=512 split into 2×256 measured 12.8 ms vs 7.0 unsplit), so
+        group = min(batch, 512); at block_t ≤ 2048 two groups of ≤256
+        are fine and slightly better (5.17 ms vs 6.28 single-group).
+
+    VMEM model (kernel runs with vmem_limit_bytes=64 MiB; v5e/v5p carry
+    128 MiB physical): fp32 scores [B, BT] + fallback key scratch
+    [G, BT] + ~2 [G, BT] harvest temporaries + 2 pipelined emb blocks
+    [BT, D]. The exact variant skips the key/harvest buffers. 4096 cap
+    keeps the packed variant's 12 index bits sufficient."""
+    budget = 40 * 1024 * 1024
+    chosen = None
+    for bt in (4096, 2048, 1024, 512):
+        if t_pad % bt:
+            continue
+        g = min(batch, 512 if bt == 4096 else DEFAULT_GROUP)
+        per_bt = (batch + 3 * g) * 4 if packed else 2 * batch * 4
+        if per_bt * bt + 2 * bt * d * itemsize > budget:
+            continue
+        if chosen is None:
+            chosen = (bt, g)  # largest feasible — the fallback
+        if batch * bt <= _SCORE_TILE_ELEMS:
+            return bt, g
+    if chosen is None:
+        return None, min(batch, DEFAULT_GROUP)
+    return chosen
+
 
 def pick_block_t(
     t_pad: int, batch: int, d: int, itemsize: int, packed: bool = True,
     group: Optional[int] = None,
 ) -> Optional[int]:
-    """Largest block_t dividing t_pad that fits the VMEM budget; None if
-    no worthwhile block size exists (tiny index → XLA path is fine).
-
-    Footprint model (r3 row-group harvest kernel, which runs with
-    vmem_limit_bytes=64 MiB — v5e/v5p carry 128 MiB physical VMEM):
-    fp32 scores [B, BT] + fallback key scratch [G, BT] + ~2 [G, BT]
-    harvest temporaries on the compiler stack + 2 pipelined emb blocks
-    [BT, D], where G = min(batch, group) — the r2 model charged the
-    FULL batch for all four buffers, which shrank block_t 4096→1024 at
-    B=512 and caused the measured 30% per-query regression (per-block
-    DMA issue cost is what binds this kernel). The exact variant skips
-    the key/harvest buffers. The 40 MiB model budget leaves ~24 MiB
-    compiler headroom (validated on v5e at B=256). 4096 cap keeps the
-    packed variant's 12 index bits sufficient."""
-    budget = 40 * 1024 * 1024
-    g = min(batch, group or DEFAULT_GROUP)
-    per_bt = (batch + 3 * g) * 4 if packed else 2 * batch * 4
-    for bt in (4096, 2048, 1024, 512):
-        if t_pad % bt:
-            continue
-        if per_bt * bt + 2 * bt * d * itemsize <= budget:
-            return bt
-    return None
+    """Back-compat wrapper: the block_t of pick_kernel_config."""
+    del group
+    return pick_kernel_config(t_pad, batch, d, itemsize, packed)[0]
 
 
 def fused_score_topk(
@@ -537,7 +562,9 @@ def fused_score_topk(
     if variant == "packed" and block_t > _IDX_MASK + 1:
         raise ValueError(f"packed variant needs block_t <= {_IDX_MASK + 1}")
     nblocks = t_pad // (block_t * dma_span)
-    group = min(b, group or DEFAULT_GROUP)
+    # default group follows the measured policy (pick_kernel_config):
+    # never split the batch at block_t=4096
+    group = min(b, group or (512 if block_t >= 4096 else DEFAULT_GROUP))
     ngroups = -(-b // group)
     # the consolidation schedule guarantees >= k free buffer entries
     # between merges ONLY when slots >= k; smaller buffers would silently

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sse_tpu.index.sharded_index import ShardedIndex
 from sse_tpu.models import sse
 from sse_tpu.models.sse import SSEConfig
-from sse_tpu.ops.fused_topk import fused_score_topk, pick_block_t
+from sse_tpu.ops.fused_topk import fused_score_topk, pick_kernel_config
 
 # Max emb chunks streamed per kernel grid step (per-transfer DMA issue
 # amortization — sse_tpu.ops.fused_topk dma_span). Raised only on
@@ -42,7 +42,7 @@ from sse_tpu.text.subword import SubwordVocab
 
 
 def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t,
-                interpret, variant):
+                interpret, variant, group=None):
     """Per-shard scoring + local top-k with GLOBAL row indices."""
     t_local = emb_block.shape[0]
     row0 = jax.lax.axis_index(axis) * t_local if axis else 0
@@ -54,7 +54,8 @@ def _shard_topk(q, emb_block, k, num_real, axis, use_pallas, block_t,
     if use_pallas:
         vals, idx = fused_score_topk(
             q, emb_block, k, nr_local, block_t, interpret=interpret,
-            variant=variant, dma_span=_pick_span(t_local, block_t),
+            variant=variant, group=group,
+            dma_span=_pick_span(t_local, block_t),
         )
         return vals, idx + row0
     if emb_block.dtype == jnp.int8:
@@ -111,27 +112,31 @@ def build_fused_query_fn(
     n_shards = mesh.shape["model"] if sharded else 1
 
     def resolve_backend(t_pad_local, b):
-        bt = pick_block_t(t_pad_local, b, model_cfg.encoding_dim,
-                          jnp.dtype(emb_dtype).itemsize,
-                          packed=(pallas_variant == "packed"))
+        bt, grp = pick_kernel_config(
+            t_pad_local, b, model_cfg.encoding_dim,
+            jnp.dtype(emb_dtype).itemsize,
+            packed=(pallas_variant == "packed"),
+        )
         if use_pallas is None:
             on_tpu = jax.devices()[0].platform not in ("cpu",)
-            return (on_tpu and bt is not None and k <= 128), bt
+            return (on_tpu and bt is not None and k <= 128), bt, grp
         if use_pallas and bt is None:
             raise ValueError(
                 f"no valid pallas block size for per-shard T={t_pad_local}"
             )
-        return use_pallas, bt
+        return use_pallas, bt, grp
 
     if sharded:
         axis = "model"
 
         def body(params, emb_block, tokens, lengths, nr):
             q = sse.encode_source(params, model_cfg, tokens, lengths)
-            pallas_on, bt = resolve_backend(emb_block.shape[0], q.shape[0])
+            pallas_on, bt, grp = resolve_backend(
+                emb_block.shape[0], q.shape[0]
+            )
             vals, gidx = _shard_topk(
                 q, emb_block, k, nr, axis, pallas_on, bt, interpret,
-                pallas_variant,
+                pallas_variant, group=grp,
             )
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
             all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
@@ -160,10 +165,10 @@ def build_fused_query_fn(
     @jax.jit
     def fused_jit(params, emb, tokens, lengths, nr):
         q = sse.encode_source(params, model_cfg, tokens, lengths)
-        pallas_on, bt = resolve_backend(emb.shape[0], q.shape[0])
+        pallas_on, bt, grp = resolve_backend(emb.shape[0], q.shape[0])
         return _shard_topk(
             q, emb, k, nr, None, pallas_on, bt, interpret,
-            pallas_variant,
+            pallas_variant, group=grp,
         )
 
     def fused(params, emb, tokens, lengths, nr=None):

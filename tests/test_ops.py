@@ -137,9 +137,12 @@ def test_fused_topk_fully_padded_shard_interpret(variant):
     assert ((idx >= 0) & (idx < t)).all()
 
 
-def test_pick_block_t():
-    # r3 model: scores are [B, BT] but the fallback/harvest buffers are
-    # [group, BT] (row-group kernel) under the lifted 64 MiB VMEM limit
+def test_pick_kernel_config():
+    """The r3 MEASURED policy (docs/kernels.md bisect): scores tile
+    B*block_t capped at 1M fp32 elements — the v5e pipelining knee —
+    and the batch is never row-group-split at block_t=4096."""
+    from sse_tpu.ops.fused_topk import pick_kernel_config
+
     assert pick_block_t(4096 * 305, 256, 128, 4) == 4096
     assert pick_block_t(4096 * 305, 256, 128, 2) == 4096
     # exact variant has no key/harvest buffers
@@ -147,11 +150,14 @@ def test_pick_block_t():
     assert pick_block_t(4096 * 305, 64, 128, 4) == 4096
     assert pick_block_t(1000, 8, 128, 4) is None  # no pow2 divisor
     assert pick_block_t(512, 8, 128, 4) == 512
-    # large batches KEEP block_t=4096 (the r2 full-batch VMEM model
-    # shrank it to 1024 at B=512 — the measured 30% per-query cliff)
-    assert pick_block_t(4096 * 16, 512, 128, 4) == 4096
-    assert pick_block_t(4096 * 16, 1024, 128, 4) == 4096
-    assert pick_block_t(4096 * 16, 2048, 128, 4) == 2048
+    # large batches shrink block_t to hold the scores tile at 1M elems
+    # (B=512/bt=2048 measured 99k QPS vs 40-73k for every bt=4096 shape)
+    assert pick_kernel_config(4096 * 16, 512, 128, 4) == (2048, 256)
+    assert pick_kernel_config(4096 * 16, 1024, 128, 4) == (1024, 256)
+    assert pick_kernel_config(4096 * 16, 2048, 128, 4) == (512, 256)
+    # no batch splitting at 4096 (B=512 split measured 12.8 vs 7.0 ms)
+    assert pick_kernel_config(4096 * 305, 256, 128, 2) == (4096, 256)
+    assert pick_kernel_config(4096 * 16, 128, 128, 2) == (4096, 128)
 
 
 @pytest.mark.parametrize("group", [4, 8, 16, 32])  # 16: tail group of 8
