@@ -26,8 +26,16 @@ from sse_tpu.ops.fused_topk import fused_score_topk, pick_kernel_config
 
 # Max emb chunks streamed per kernel grid step (per-transfer DMA issue
 # amortization — sse_tpu.ops.fused_topk dma_span). Raised only on
-# measured wins; 1 = r2 behavior.
+# measured wins; 1 = r2 behavior (span 2/4 measured 2x SLOWER on v5e).
 MAX_DMA_SPAN = 1
+
+# Query batches larger than this are scored in chunks WITHIN the jitted
+# program (each chunk re-reads the index): measured on v5e (r3 bisect,
+# docs/kernels.md), B=512 at its optimal tile runs 5.3 ms = 96k QPS
+# while every B=1024 single-dispatch shape collapses to 23+ ms — two
+# 512-chunks score 1024 queries in ~10.7 ms. The kernel is not
+# HBM-bandwidth-bound, so the extra index read is cheap.
+MAX_KERNEL_BATCH = 512
 
 
 def _pick_span(t_pad_local: int, block_t: Optional[int]) -> int:
@@ -126,18 +134,35 @@ def build_fused_query_fn(
             )
         return use_pallas, bt, grp
 
+    def chunked_topk(q, emb_arr, nr, axis):
+        """Score q in ≤MAX_KERNEL_BATCH chunks (see the constant's note);
+        each chunk resolves its own (block_t, group) config."""
+        b = q.shape[0]
+        parts = []
+        for lo in range(0, b, MAX_KERNEL_BATCH):
+            qc = q[lo : lo + MAX_KERNEL_BATCH]
+            pallas_on, bt, grp = resolve_backend(
+                emb_arr.shape[0], qc.shape[0]
+            )
+            parts.append(
+                _shard_topk(
+                    qc, emb_arr, k, nr, axis, pallas_on, bt, interpret,
+                    pallas_variant, group=grp,
+                )
+            )
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]),
+        )
+
     if sharded:
         axis = "model"
 
         def body(params, emb_block, tokens, lengths, nr):
             q = sse.encode_source(params, model_cfg, tokens, lengths)
-            pallas_on, bt, grp = resolve_backend(
-                emb_block.shape[0], q.shape[0]
-            )
-            vals, gidx = _shard_topk(
-                q, emb_block, k, nr, axis, pallas_on, bt, interpret,
-                pallas_variant, group=grp,
-            )
+            vals, gidx = chunked_topk(q, emb_block, nr, axis)
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
             all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
             mvals, mpos = jax.lax.top_k(all_vals, k)
@@ -165,11 +190,7 @@ def build_fused_query_fn(
     @jax.jit
     def fused_jit(params, emb, tokens, lengths, nr):
         q = sse.encode_source(params, model_cfg, tokens, lengths)
-        pallas_on, bt, grp = resolve_backend(emb.shape[0], q.shape[0])
-        return _shard_topk(
-            q, emb, k, nr, None, pallas_on, bt, interpret,
-            pallas_variant, group=grp,
-        )
+        return chunked_topk(q, emb, nr, None)
 
     def fused(params, emb, tokens, lengths, nr=None):
         nr = jnp.asarray(num_real if nr is None else nr, jnp.int32)

@@ -935,3 +935,28 @@ def test_evaluator_sampled_targets(setup):
     assert r_sub["recall@1"] >= r_full["recall@1"] - 1e-9  # optimistic bound
     rows = sub.top_rows(params)
     assert set(np.unique(rows)) <= set(sub._subset.tolist())
+
+
+def test_chunked_kernel_dispatch_matches_unchunked(setup):
+    """Batches above MAX_KERNEL_BATCH are scored in chunks inside the
+    jitted program (the measured B=1024 fix); results must equal the
+    single-dispatch program."""
+    import sse_tpu.serve.engine as engine_mod
+    from sse_tpu.serve.engine import build_fused_query_fn
+
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(2, 60, size=(12, 10)), jnp.int32)
+    lengths = jnp.full((12,), 10, jnp.int32)
+    ref_fn = build_fused_query_fn(model_cfg, k=3, num_real=idx.num_real)
+    rv, ri = ref_fn(params, idx.emb, tokens, lengths)
+    old = engine_mod.MAX_KERNEL_BATCH
+    engine_mod.MAX_KERNEL_BATCH = 5  # force 3 chunks (12 = 5+5+2)
+    try:
+        ch_fn = build_fused_query_fn(model_cfg, k=3, num_real=idx.num_real)
+        cv, ci = ch_fn(params, idx.emb, tokens, lengths)
+    finally:
+        engine_mod.MAX_KERNEL_BATCH = old
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(cv), np.asarray(rv), rtol=1e-6)
