@@ -153,6 +153,15 @@ class TaskConfig:
 
 # The four reference demo tasks (BASELINE.json configs[0..3]); demo-scale
 # hyperparameters so each runs on CPU in minutes, TPU in seconds.
+#
+# r3 capacity-scaling guidance (BASELINE.md r3 section): these presets are
+# tuned for the DEFAULT hard-profile corpus (8 train pairs/target). With
+# 4x+ the data (`demo-data --profile hard --train_per_target 32`), every
+# preset gains 5-9pp recall@1 UNCHANGED, and the following re-tunes win
+# further: hidden 256 stops overfitting (ranking 0.7783), a 2-layer GRU
+# wants lr 0.003 + dropout 0.1 (0.7795 — the measured instrument ceiling),
+# and `--cell bow` matches the ceiling outright on in-vocabulary tasks
+# (0.7803) because word identity carries all of this corpus's signal.
 # r2.5: the 20-epoch stock schedule underfits once dropout regularizes
 # the tower — 40 epochs + dropout 0.1 measured 0.702 → 0.729 recall@1 on
 # the hard benchmark, EMA adds recall@10 (0.898 → 0.911); EMA alone (no
