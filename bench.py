@@ -27,11 +27,15 @@ def main() -> int:
     import jax.numpy as jnp
 
     # serving-mode flagship config: bfloat16 index + packed-key Pallas
-    # selector (see BASELINE.md for the exact/fp32 variants)
+    # selector (see BASELINE.md for the exact/fp32 variants). batch=1024
+    # rides the r3 chunked dispatch (engine scores it as two 512-query
+    # chunks at their measured-optimal tiles): 119.4k QPS vs 69.1k at
+    # batch=256 — per-query throughput rises monotonically with B now
+    # (BASELINE.md r3 serving sweep; B=256 remains the latency point).
     result = run_query_bench(
         num_targets=num_targets,
         encoding_dim=128,
-        batch=256,
+        batch=1024,
         k=10,
         index_dtype=jnp.bfloat16,
     )
