@@ -64,7 +64,7 @@ def cmd_demo_data(args) -> int:
     def val(name, easy_default, hard_default):
         v = getattr(args, name, None)
         return v if v is not None else (
-            hard_default if args.profile == "hard" else easy_default
+            easy_default if args.profile == "easy" else hard_default
         )
 
     if args.profile == "scale":
@@ -78,11 +78,20 @@ def cmd_demo_data(args) -> int:
         )
         print(f"[sse] wrote scale corpus ({n} targets) to {args.out_dir}")
         return 0
-    if args.profile == "hard":
+    if args.profile == "compositional":
+        train, ev, targets = synthetic.make_compositional_corpus(
+            task=args.task,
+            num_targets=val("num_targets", 64, 2048),
+            cluster_size=args.cluster_size or 8,
+            train_per_target=val("train_per_target", 24, 32),
+            eval_per_target=val("eval_per_target", 4, 2),
+            seed=args.seed,
+        )
+    elif args.profile == "hard":
         train, ev, targets = synthetic.make_hard_corpus(
             task=args.task,
             num_targets=val("num_targets", 64, 2048),
-            cluster_size=args.cluster_size,
+            cluster_size=args.cluster_size or 16,
             train_per_target=val("train_per_target", 24, 8),
             eval_per_target=val("eval_per_target", 4, 2),
             train_multi_label_frac=args.train_multi_label_frac,
@@ -354,15 +363,22 @@ def main(argv=None) -> int:
     p.add_argument(
         "--profile",
         default="easy",
-        choices=["easy", "hard", "scale"],
+        choices=["easy", "hard", "compositional", "scale"],
         help="easy: r1 demo corpora (saturate at recall 1.0); hard: the "
         "discriminative benchmark (confusable clusters, Zipf words, "
-        "multi-label eval rows — recall@1 ceiling < 0.9); scale: 10M+ "
+        "multi-label eval rows — recall@1 ceiling 0.7795); "
+        "compositional: the ORDER-SENSITIVE benchmark (siblings share "
+        "identical word bags, signal lives in word order — a BoW scorer "
+        "is at 1/cluster_size within the cluster); scale: 10M+ "
         "targets streamed to disk for index/serving capstones "
         "(--train_per_target/--eval_per_target become absolute row "
         "counts)",
     )
-    p.add_argument("--cluster_size", type=int, default=16)
+    p.add_argument(
+        "--cluster_size", type=int, default=None,
+        help="targets per confusable cluster (default: 16 hard, "
+        "8 compositional)",
+    )
     p.add_argument(
         "--train_multi_label_frac", type=float, default=0.0,
         help="hard profile: fraction of TRAIN rows that are ambiguous "

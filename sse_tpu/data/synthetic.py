@@ -240,6 +240,118 @@ def make_hard_corpus(
     return train_pairs, eval_pairs, target_rows
 
 
+def make_compositional_corpus(
+    task: str = "ranking",
+    num_targets: int = 2048,
+    cluster_size: int = 8,
+    train_per_target: int = 32,
+    eval_per_target: int = 2,
+    window_min: int = 2,
+    window_max: int = 5,
+    noise_words: int = 2,
+    seed: int = 0,
+) -> Tuple[List[Tuple[str, List[str]]], List[Tuple[str, List[str]]], List[Tuple[str, str]]]:
+    """The ORDER-SENSITIVE benchmark profile (round-3 instrument).
+
+    The hard profile's signal is entirely lexical: its word-overlap
+    oracle equals its Bayes-optimal scorer (0.7795, tools/bayes_oracle.py)
+    so a bag-of-words tower matches the ceiling and sequence encoders
+    cannot demonstrate their advantage. This profile makes word IDENTITY
+    deliberately useless within a cluster and puts the label signal in
+    word ORDER instead:
+
+      * each cluster of ``cluster_size`` targets shares ONE pool of
+        ``cluster_size`` words; every target's text is a distinct
+        PERMUTATION of the full pool — all siblings have byte-identical
+        bags of words, so any order-blind scorer is at chance 1/cluster
+        within the cluster (recall@1 ≈ 1/cluster_size; recall@10 still
+        saturates when cluster_size ≤ 10 — recall@1 is the metric here);
+      * a source is a CONTIGUOUS window (length uniform in
+        [window_min, window_max]) of its target's permutation, with
+        ``noise_words`` Zipf-drawn 4-syllable noise words appended at
+        the ends (cluster words are 2-syllable, so noise is
+        membership-identifiable and never perturbs window adjacencies);
+      * the Bayes-optimal scorer is computable in closed form: strip
+        noise, then the posterior is uniform over targets whose
+        permutation contains the window as a contiguous subsequence
+        (tools/comp_oracle.py measures it exactly, along with the
+        word-overlap and bigram-overlap oracles). Short windows are
+        irreducibly ambiguous — an ordered pair is adjacent in a random
+        sibling permutation with prob 1/cluster_size — which keeps the
+        ceiling below 1.0 and measurable.
+
+    A model beats the BoW oracle here ONLY by encoding order (bigrams or
+    better): the gap between the word-overlap oracle and the bigram
+    oracle is the instrument's discriminative range. Same schema/return
+    shape as make_corpus; crosslingual maps source words through a
+    bijection into a disjoint vocabulary (order signal preserved), qna
+    appends noise to target passages.
+    """
+    if task not in ("classification", "ranking", "crosslingual", "qna"):
+        raise ValueError(f"unknown task {task!r}")
+    if num_targets % cluster_size:
+        raise ValueError("num_targets must be a multiple of cluster_size")
+    if not (1 <= window_min <= window_max <= cluster_size):
+        raise ValueError("need 1 <= window_min <= window_max <= cluster_size")
+    rng = random.Random(seed)
+    n_clusters = num_targets // cluster_size
+    pool_bank = _word_bank(rng, n_clusters * cluster_size, syllables=2)
+    noise_bank = _word_bank(rng, 400, syllables=4)
+    noise_w = [1.0 / (i + 1) for i in range(len(noise_bank))]  # Zipf
+
+    if task == "crosslingual":
+        src_side = _word_bank(rng, len(pool_bank), syllables=5)
+        translate: Dict[str, str] = dict(zip(pool_bank, src_side))
+    else:
+        translate = {w: w for w in pool_bank}
+
+    pools = [
+        pool_bank[c * cluster_size : (c + 1) * cluster_size]
+        for c in range(n_clusters)
+    ]
+    # distinct permutations per cluster (collision-free by construction)
+    perms: List[List[str]] = []
+    target_rows: List[Tuple[str, str]] = []
+    for c in range(n_clusters):
+        seen = set()
+        for i in range(cluster_size):
+            while True:
+                p = pools[c][:]
+                rng.shuffle(p)
+                key = tuple(p)
+                if key not in seen:
+                    seen.add(key)
+                    break
+            perms.append(p)
+            tid = c * cluster_size + i
+            text = " ".join(p)
+            if task == "qna":  # answer-passage-like: longer
+                text += " " + " ".join(rng.sample(noise_bank, 3))
+            target_rows.append((f"t{tid:05d}", text))
+
+    def draw_source(i: int, r: random.Random) -> str:
+        p = perms[i]
+        s = r.randint(window_min, window_max)
+        lo = r.randint(0, len(p) - s)
+        words = [translate[w] for w in p[lo : lo + s]]
+        # noise at the ENDS only — window adjacencies stay intact
+        pre = r.randint(0, noise_words)
+        nz = r.choices(noise_bank, weights=noise_w, k=noise_words)
+        return " ".join(nz[:pre] + words + nz[pre:])
+
+    def sample(count: int, r: random.Random):
+        pairs = []
+        for i in range(num_targets):
+            for _ in range(count):
+                pairs.append((draw_source(i, r), [f"t{i:05d}"]))
+        r.shuffle(pairs)
+        return pairs
+
+    train_pairs = sample(train_per_target, random.Random(seed + 1))
+    eval_pairs = sample(eval_per_target, random.Random(seed + 2))
+    return train_pairs, eval_pairs, target_rows
+
+
 def _word_at(i: int, syllables: int = 3) -> str:
     """Deterministic unique word for an index (no bank materialization —
     the scale profile needs 10M-target corpora where rejection-sampled

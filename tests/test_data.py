@@ -322,6 +322,80 @@ def test_hard_corpus_structure():
     assert 0.45 < hits / len(ev) < 0.97
 
 
+def test_compositional_corpus_structure():
+    """The ORDER-SENSITIVE profile (r3 instrument): cluster siblings have
+    byte-identical word BAGS (so any order-blind scorer is at chance
+    1/cluster_size within the cluster) while word ORDER pins the target —
+    sources are contiguous windows of their target's permutation with
+    noise only at the ends."""
+    tr, ev, tg = synthetic.make_compositional_corpus(
+        task="ranking",
+        num_targets=64,
+        cluster_size=8,
+        train_per_target=4,
+        eval_per_target=4,
+        seed=3,
+    )
+    assert len(tg) == 64 and len(tr) == 256 and len(ev) == 256
+    texts = {tid: txt.split() for tid, txt in tg}
+    # identical bags, distinct orders, within every cluster
+    for c in range(8):
+        perms = [texts[f"t{c * 8 + i:05d}"] for i in range(8)]
+        assert len({frozenset(p) for p in perms}) == 1
+        assert len({tuple(p) for p in perms}) == 8
+    # disjoint pools across clusters
+    assert not (set(texts["t00000"]) & set(texts["t00008"]))
+    # sources: noise-stripped window is a contiguous subsequence of the
+    # labeled target's permutation (2-syllable pool vs 4-syllable noise)
+    for src, labels in ev:
+        win = [w for w in src.split() if len(w) == 4]
+        perm = texts[labels[0]]
+        assert 2 <= len(win) <= 5
+        assert any(
+            perm[lo : lo + len(win)] == win
+            for lo in range(len(perm) - len(win) + 1)
+        )
+    # the word-overlap oracle is pinned at ~1/cluster_size: every sibling
+    # ties, so expected hits = 1/8 exactly (uniform tie-break)
+    # the bigram oracle separates: for most rows the window's adjacencies
+    # occur in few sibling permutations
+    amb = 0
+    for src, labels in ev:
+        win = [w for w in src.split() if len(w) == 4]
+        bg = set(zip(win, win[1:]))
+        c = int(labels[0][1:]) // 8
+        best = max(
+            range(c * 8, (c + 1) * 8),
+            key=lambda t: (
+                len(bg & set(zip(texts[f"t{t:05d}"], texts[f"t{t:05d}"][1:]))),
+                -t,
+            ),
+        )
+        amb += f"t{best:05d}" in labels
+    assert amb / len(ev) > 0.6  # far above the 0.125 bag-of-words bound
+
+
+def test_compositional_determinism():
+    a = synthetic.make_compositional_corpus(num_targets=16, cluster_size=4, window_max=4, seed=9)
+    b = synthetic.make_compositional_corpus(num_targets=16, cluster_size=4, window_max=4, seed=9)
+    assert a == b
+    c = synthetic.make_compositional_corpus(num_targets=16, cluster_size=4, window_max=4, seed=10)
+    assert a != c
+
+
+def test_compositional_crosslingual_disjoint_vocab():
+    """Crosslingual sources use a disjoint vocabulary (bijection applied
+    word-by-word, order preserved)."""
+    _, ev, tg = synthetic.make_compositional_corpus(
+        task="crosslingual", num_targets=16, cluster_size=4,
+        window_max=4, eval_per_target=2, seed=1,
+    )
+    tgt_words = {w for _, txt in tg for w in txt.split()}
+    for src, _ in ev:
+        win = [w for w in src.split() if len(w) != 8]  # strip 4-syll noise
+        assert win and not (set(win) & tgt_words)
+
+
 def test_multi_label_pairs_and_recall(tmp_path):
     """Reference semantics: a pair row may list several correct target ids
     ("t1,t2" or "t1|t2"); recall@k counts a hit if ANY appears."""

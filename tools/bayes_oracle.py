@@ -9,9 +9,20 @@ so the per-word likelihood is that mixture; multi-label ambiguous rows
 are generated core-only (a separate mixture), and the generator picks
 which regime each row is in — the Bayes scorer must marginalize over
 regimes with the known priors (eval multi_label_frac=0.15).
+
+Measured (r3, seed 0): recall@1 = 0.7795 on BOTH ranking and
+classification eval sets — identical to the greedy word-overlap oracle
+and to the best trained configs (BASELINE.md r3 section): word identity
+carries ALL the label signal this generator emits, and the models are at
+the instrument's information-theoretic ceiling.
+
+Usage: python tools/bayes_oracle.py [ranking|classification|crosslingual|qna]
 """
+import os
 import sys
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 import random
 import numpy as np
 from sse_tpu.data import synthetic
