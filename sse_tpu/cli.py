@@ -155,13 +155,18 @@ def cmd_index(args) -> int:
 
     ws = Workspace.open(args.model_dir)
     t0 = time.perf_counter()
+    phases: dict = {}
     index = ws.build_index(
-        args.data_dir, export_tsv=args.export_tsv, capacity=args.capacity
+        args.data_dir, export_tsv=args.export_tsv, capacity=args.capacity,
+        phase_times=phases,
     )
     dt = time.perf_counter() - t0
+    breakdown = " ".join(f"{k}={v:.1f}s" for k, v in phases.items())
     print(
         f"[sse] built index: {index.num_real} targets, dim {index.dim}, "
-        f"{index.num_real / dt:.1f} docs/sec → {ws.index_dir}"
+        f"{index.num_real / dt:.1f} docs/sec → {ws.index_dir}\n"
+        f"[sse] index phases: {breakdown} "
+        f"(encode-only rate {index.num_real / max(phases.get('encode', dt), 1e-9):.1f} docs/sec)"
     )
     return 0
 

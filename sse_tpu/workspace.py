@@ -10,6 +10,7 @@ only --model_dir (the reference re-passed flags instead).
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -284,11 +285,22 @@ class Workspace:
         data_dir: str,
         export_tsv: Optional[str] = None,
         capacity: Optional[int] = None,
+        phase_times: Optional[Dict[str, float]] = None,
     ) -> ShardedIndex:
+        """Build + persist the sharded index. ``phase_times`` (if passed)
+        receives a wall-clock breakdown — at 10M docs the non-encode
+        phases (TSV parse + content hash, checkpoint restore, Orbax
+        save over the device link) dominate the `index` CLI's end-to-end
+        docs/sec, so the breakdown is what makes that number actionable
+        (r2 VERDICT item 6 follow-up)."""
+        t = time.perf_counter
+        t0 = t()
         vocab, tspace, _, _ = self.prepare_data(data_dir, need_eval=False)
+        t1 = t()
         model_cfg = self.model_config(vocab, tspace)
         state, mgr = self.restore_state(model_cfg)
         mgr.close()
+        t2 = t()
         import jax.numpy as _jnp
 
         index = build_index(
@@ -301,9 +313,19 @@ class Workspace:
             ),
             capacity=capacity,
         )
+        jax.block_until_ready(index.emb)
+        t3 = t()
         index.save(self.index_dir)
+        t4 = t()
         if export_tsv:
             index.export_tsv(export_tsv)
+        if phase_times is not None:
+            phase_times.update(
+                prepare_data=t1 - t0,
+                restore=t2 - t1,
+                encode=t3 - t2,
+                save=t4 - t3,
+            )
         return index
 
     def evaluate(self, data_dir: str) -> Dict[str, float]:

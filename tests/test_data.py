@@ -281,7 +281,11 @@ def test_word_vocab_mode(tmp_path):
     final = ws.train(data)
     assert final["recall@1"] > 0.5
     # the serving engine loads word vocabs too (marker dispatch)
-    ws.build_index(data)
+    phases: dict = {}
+    ws.build_index(data, phase_times=phases)
+    # the CLI's docs/sec breakdown (r3): every phase reported, positive
+    assert set(phases) == {"prepare_data", "restore", "encode", "save"}
+    assert all(v >= 0 for v in phases.values())
     eng = ws.engine(k=3)
     assert isinstance(eng.vocab, TokenVocab)
     hits = eng.query([tg[0][1]])[0]
