@@ -48,6 +48,15 @@ parity:  ## THE benchmark (BASELINE.md protocol): 2048 confusable targets, stock
 
 parity-hard: parity  ## alias (historical name)
 
+parity-comp:  ## the ORDER-SENSITIVE benchmark: BoW-bound 0.125, bigram/Bayes ceiling 0.899 (tools/comp_oracle.py)
+	@$(PY) -m sse_tpu.cli demo-data --task ranking --profile compositional --out_dir rawdata-comp >/dev/null
+	@for cfg in "bow --cell bow" "gru "; do \
+	  set -- $$cfg; name=$$1; shift; \
+	  $(PY) -m sse_tpu.cli train --task_type ranking --data_dir rawdata-comp \
+	    --model_dir models-comp-$$name --steps_per_checkpoint 1000 $$* \
+	    2>/dev/null | tail -1 | sed "s/^/[comp-$$name] /"; \
+	done
+
 parity-easy:  ## SMOKE TEST ONLY: the r1 easy corpora — every working model saturates at recall 1.000
 	@echo "[smoke] easy corpora saturate at 1.000 — this verifies plumbing, not quality (use 'make parity')"
 	@for task in classification ranking crosslingual qna; do \
