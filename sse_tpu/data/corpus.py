@@ -227,6 +227,29 @@ def batch_encode(
 _native_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def trimmed_width(
+    lengths: np.ndarray, full_width: int, multiple: int = 8
+) -> int:
+    """Smallest multiple-of-``multiple`` column count covering every
+    sequence, capped at ``full_width``.
+
+    Every tower masks past each row's length (masked scan / masked mean /
+    masked attention — models/towers.py), so columns beyond the corpus
+    max are pure padding for EVERY row and slicing them off is
+    numerics-neutral. It is NOT free compute: the RNN scan is a
+    sequential chain over L, and real corpora sit far below
+    ``max_seq_length`` (hard benchmark: max 16 tokens on width-50
+    arrays), so trimming cuts the latency-bound recurrence ~3× — the
+    binding resource of the train step (BASELINE.md roofline). Rounding
+    to a multiple keeps the set of distinct compiled widths small across
+    corpus regenerations."""
+    if len(lengths) == 0:
+        return full_width
+    m = int(np.max(lengths))
+    w = -(-m // multiple) * multiple
+    return min(full_width, max(multiple, w))
+
+
 def encode_target_space(
     vocab: SubwordVocab,
     target_rows: Sequence[Tuple[str, str]],
@@ -250,17 +273,21 @@ def encode_target_space(
         if os.path.exists(cache_path):
             with np.load(cache_path, allow_pickle=False) as z:
                 if str(z["key"]) == key:
+                    toks, lens = z["tokens"], z["lengths"]
                     return TargetSpace(
                         ids=ids,
                         texts=texts,
-                        tokens=z["tokens"],
-                        lengths=z["lengths"],
+                        tokens=toks[:, : trimmed_width(lens, toks.shape[1])],
+                        lengths=lens,
                         id_to_row={t: i for i, t in enumerate(ids)},
                     )
     tokens, lengths = batch_encode(vocab, texts, max_seq_length)
     if cache_path and key is not None:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        # cache at FULL width (key stays a pure function of the inputs);
+        # the pad trim is applied on the way out of both paths
         np.savez(cache_path, key=key, tokens=tokens, lengths=lengths)
+    tokens = tokens[:, : trimmed_width(lengths, tokens.shape[1])]
     return TargetSpace(
         ids=ids,
         texts=texts,
@@ -329,7 +356,8 @@ def encode_pairs_streaming(
             src_len = np.load(len_path, mmap_mode="r")[:n]
             labels = np.load(lab_path, mmap_mode="r")[:n]
             return EncodedPairs(
-                src=src, src_len=src_len, labels=labels,
+                src=src[:, : trimmed_width(src_len, src.shape[1])],
+                src_len=src_len, labels=labels,
                 label_sets=_LazySingletonSets(labels),
             )
 
@@ -403,7 +431,8 @@ def encode_pairs_streaming(
     src_len = np.load(len_path, mmap_mode="r")[:n]
     lab = np.load(lab_path, mmap_mode="r")[:n]
     return EncodedPairs(
-        src=src, src_len=src_len, labels=lab,
+        src=src[:, : trimmed_width(src_len, src.shape[1])],
+        src_len=src_len, labels=lab,
         label_sets=_LazySingletonSets(lab),
     )
 
@@ -455,6 +484,7 @@ def encode_pairs(
     if not texts:
         raise ValueError("no usable pairs after encoding")
     src, src_len = batch_encode(vocab, texts, max_seq_length)
+    src = src[:, : trimmed_width(src_len, src.shape[1])]
     # multi-label rows → dense [N, M] -1-padded matrix (static shape for
     # the jitted step; M capped at 8 — beyond that the extra labels add
     # mask columns but no signal)

@@ -50,15 +50,35 @@ def test_tsv_round_trip(corpus):
 
 
 def test_encoding_shapes(encoded):
+    from sse_tpu.data.corpus import trimmed_width
+
     vocab, tspace, pairs, *_ = encoded
-    assert tspace.tokens.shape == (8, L)
+    # arrays come back PAD-TRIMMED: the smallest multiple-of-8 width
+    # covering every row (never wider than max_seq_length) — the scan
+    # over padded columns is the train step's binding resource
+    assert tspace.tokens.shape == (
+        8, trimmed_width(tspace.lengths, L)
+    )
+    assert tspace.tokens.shape[1] % 8 == 0
+    assert tspace.tokens.shape[1] >= tspace.lengths.max()
     assert tspace.tokens.dtype == np.int32
     # every row EOS-terminated at position length-1
     for i in range(tspace.num_targets):
         assert tspace.tokens[i, tspace.lengths[i] - 1] == EOS_ID
         assert (tspace.tokens[i, tspace.lengths[i] :] == 0).all()
-    assert pairs.src.shape[1] == L
+    assert pairs.src.shape[1] == trimmed_width(pairs.src_len, L)
     assert pairs.labels.max() < tspace.num_targets
+
+
+def test_trimmed_width_policy():
+    from sse_tpu.data.corpus import trimmed_width
+
+    assert trimmed_width(np.array([3, 5]), 50) == 8
+    assert trimmed_width(np.array([8]), 50) == 8
+    assert trimmed_width(np.array([9]), 50) == 16
+    assert trimmed_width(np.array([49]), 50) == 50  # capped at full width
+    assert trimmed_width(np.array([], dtype=np.int32), 50) == 50
+    assert trimmed_width(np.array([1]), 4) == 4
 
 
 def test_target_cache_hit(encoded):
@@ -98,8 +118,9 @@ def test_batch_iterator_static_shapes(encoded):
     it = BatchIterator(pairs, global_batch_size=16, seed=1)
     batches = list(it.epoch_batches(0))
     assert len(batches) == it.steps_per_epoch
+    W = pairs.src.shape[1]
     for b in batches:
-        assert b.src.shape == (16, L)
+        assert b.src.shape == (16, W)
         assert b.weight.shape == (16,)
     # padding rows only in the last batch; weights mark them
     total_weight = sum(b.weight.sum() for b in batches)
@@ -128,7 +149,8 @@ def test_per_host_sharding_partitions(encoded):
     )
     assert len(h0) == len(h1) == len(full)
     for f, a, b in zip(full, h0, h1):
-        assert a.src.shape == (8, L) and b.src.shape == (8, L)
+        assert a.src.shape == (8, f.src.shape[1])
+        assert b.src.shape == (8, f.src.shape[1])
         # real (weight>0) rows of the two host shards == real rows of global
         real = lambda batch: {
             tuple(batch.src[i])
@@ -206,7 +228,7 @@ def test_windowed_shuffle_exactly_once(encoded):
     it = BatchIterator(pairs, global_batch_size=8, seed=3, shuffle_window=10)
     seen = []
     for b in it.epoch_batches(0):
-        assert b.src.shape == (8, L)
+        assert b.src.shape == (8, pairs.src.shape[1])
         seen.extend(
             int(l) for l, w in zip(b.labels, b.weight) if w > 0
         )

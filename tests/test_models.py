@@ -52,6 +52,27 @@ def test_tower_shapes_and_norm(cell):
     )
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm", "transformer", "bow"])
+def test_pad_width_invariance(cell):
+    """Encoding at a WIDER all-padding width must give the same
+    embeddings — the property corpus-level pad trimming
+    (data/corpus.py::trimmed_width) relies on: columns past the batch
+    max length are masked in every tower, so slicing them off is
+    numerics-neutral while cutting the scan's sequential chain."""
+    cfg = SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=tower(cell))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens, lengths = rand_batch(jax.random.PRNGKey(5))
+    wide = jnp.concatenate(
+        [tokens, jnp.zeros((B, 7), jnp.int32)], axis=1
+    )
+    emb_trim = encode_source(params, cfg, tokens, lengths)
+    emb_wide = encode_source(params, cfg, wide, lengths)
+    np.testing.assert_allclose(
+        np.asarray(emb_trim), np.asarray(emb_wide),
+        atol=2e-2 if cell == "transformer" else 1e-5,
+    )
+
+
 @pytest.mark.parametrize("cell", ["gru", "lstm", "transformer"])
 def test_padding_invariance(cell):
     """Tokens past each row's length must not affect the embedding."""
