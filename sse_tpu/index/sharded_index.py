@@ -30,6 +30,28 @@ import orbax.checkpoint as ocp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sse_tpu.data.corpus import TargetSpace
+
+
+def _esc(s: str) -> str:
+    """docs.tsv field escape: source TSVs cannot contain tabs/newlines in
+    fields, but live add() accepts arbitrary strings over HTTP."""
+    return (
+        s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    )
+
+
+def _unesc(s: str) -> str:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            out.append({"t": "\t", "n": "\n", "\\": "\\"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 from sse_tpu.models import sse
 from sse_tpu.models.sse import NetworkMode, SSEConfig
 
@@ -231,6 +253,62 @@ class ShardedIndex:
 
     # ------------------------------------------------------------ persist
     def save(self, directory: str) -> None:
+        """Persist the index: per-shard ``emb_*.npy`` + ``docs.tsv`` +
+        a small ``sidecar.json``.
+
+        The first format used Orbax for the embedding matrix and put
+        ids/texts into the sidecar JSON. At 10M rows that is the
+        dominant cost of the whole `index` CLI (measured 137–217 s of a
+        ~180 s build — TensorStore moves the device array in many small
+        chunked reads, each paying link latency, and a 10M-string JSON
+        serializes for tens of seconds). One bulk readback per device
+        shard + an O(rows) TSV write is link-bandwidth-bound instead.
+        Multi-process runs keep the Orbax path (every process must write
+        only ITS shards, which Orbax coordinates); ``load`` reads both
+        formats."""
+        if jax.process_count() > 1:
+            self._save_orbax(directory)
+            return
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        shards = []
+        seen_rows = set()  # replicated layouts repeat row ranges per device
+        for s in sorted(
+            self.emb.addressable_shards,
+            key=lambda s: (s.index[0].start or 0),
+        ):
+            row0 = int(s.index[0].start or 0)
+            if row0 in seen_rows:
+                continue
+            seen_rows.add(row0)
+            fname = f"emb_{len(shards):03d}.npy"
+            arr = np.asarray(s.data)
+            if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+                # numpy can't serialize ml_dtypes (bfloat16) — store the
+                # raw bits; load() views them back via sidecar dtype
+                arr = arr.view(np.uint16)
+            np.save(os.path.join(directory, fname), arr)
+            shards.append({"file": fname, "row0": row0})
+        with open(
+            os.path.join(directory, "docs.tsv"), "w", encoding="utf-8"
+        ) as f:
+            for tid, txt in zip(self.ids, self.texts):
+                f.write(f"{_esc(tid)}\t{_esc(txt)}\n")
+        with open(
+            os.path.join(directory, "sidecar.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(
+                {
+                    "format": "npy-v1",
+                    "num_real": self.num_real,
+                    "shape": list(self.emb.shape),
+                    "dtype": str(self.emb.dtype),
+                    "shards": shards,
+                },
+                f,
+            )
+
+    def _save_orbax(self, directory: str) -> None:
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         with ocp.StandardCheckpointer() as ckptr:
@@ -259,25 +337,47 @@ class ShardedIndex:
             os.path.join(directory, "sidecar.json"), "r", encoding="utf-8"
         ) as f:
             side = json.load(f)
-        with ocp.StandardCheckpointer() as ckptr:
-            sharding = (
-                NamedSharding(mesh, P("model", None))
-                if mesh is not None
-                else NamedSharding(
-                    Mesh(np.array(jax.devices()[:1]), ("model",)), P()
+        sharding = (
+            NamedSharding(mesh, P("model", None))
+            if mesh is not None
+            else NamedSharding(
+                Mesh(np.array(jax.devices()[:1]), ("model",)), P()
+            )
+        )
+        if side.get("format") == "npy-v1":
+            parts = [
+                np.load(os.path.join(directory, s["file"]), mmap_mode="r")
+                for s in sorted(side["shards"], key=lambda s: s["row0"])
+            ]
+            host = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            if side["dtype"] == "bfloat16":
+                import ml_dtypes
+
+                host = np.asarray(host).view(ml_dtypes.bfloat16)
+            emb = jax.device_put(host, sharding)
+            ids: List[str] = []
+            texts: List[str] = []
+            with open(
+                os.path.join(directory, "docs.tsv"), "r", encoding="utf-8"
+            ) as f:
+                for line in f:
+                    tid, _, txt = line.rstrip("\n").partition("\t")
+                    ids.append(_unesc(tid))
+                    texts.append(_unesc(txt))
+        else:  # legacy Orbax layout (and multi-process saves)
+            with ocp.StandardCheckpointer() as ckptr:
+                abstract = jax.ShapeDtypeStruct(
+                    tuple(side["shape"]), side["dtype"], sharding=sharding
                 )
-            )
-            abstract = jax.ShapeDtypeStruct(
-                tuple(side["shape"]), side["dtype"], sharding=sharding
-            )
-            emb = ckptr.restore(
-                os.path.join(directory, "emb"), {"emb": abstract}
-            )["emb"]
+                emb = ckptr.restore(
+                    os.path.join(directory, "emb"), {"emb": abstract}
+                )["emb"]
+            ids, texts = side["ids"], side["texts"]
         return cls(
             emb=emb,
             num_real=side["num_real"],
-            ids=side["ids"],
-            texts=side["texts"],
+            ids=ids,
+            texts=texts,
             mesh=mesh,
         )
 

@@ -89,6 +89,36 @@ def test_index_save_load_and_tsv(setup, tmp_path):
     )
 
 
+def test_index_load_legacy_orbax_format(setup, tmp_path):
+    """Indexes saved by the pre-r3 Orbax layout (and by multi-process
+    saves, which still use it) must keep loading."""
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    d = str(tmp_path / "legacy")
+    idx._save_orbax(d)
+    loaded = ShardedIndex.load(d)
+    np.testing.assert_allclose(
+        np.asarray(loaded.emb), np.asarray(idx.emb), atol=1e-7
+    )
+    assert loaded.ids == idx.ids and loaded.texts == idx.texts
+
+
+def test_docs_tsv_escaping_round_trip(tmp_path):
+    """Live-added docs can contain tabs/newlines/backslashes; docs.tsv
+    must round-trip them exactly."""
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    emb = np.eye(4, 8, dtype=np.float32)
+    ids = ["a", "b\tc", "d\ne", "f\\g"]
+    texts = ["plain", "tab\there", "new\nline", "back\\slash\t\n"]
+    idx = from_embeddings(emb, ids, texts)
+    d = str(tmp_path / "esc")
+    idx.save(d)
+    loaded = ShardedIndex.load(d)
+    assert loaded.ids == ids
+    assert loaded.texts == texts
+
+
 def test_sharded_query_equals_single_device(setup):
     vocab, tspace, model_cfg, params, tg = setup
     queries = ["gudi foso qefo", "zana bole", "xyzzy unknown words"]
