@@ -259,13 +259,17 @@ class ShardedIndex:
         The first format used Orbax for the embedding matrix and put
         ids/texts into the sidecar JSON. At 10M rows that is the
         dominant cost of the whole `index` CLI (measured 137–217 s of a
-        ~180 s build — TensorStore moves the device array in many small
-        chunked reads, each paying link latency, and a 10M-string JSON
-        serializes for tens of seconds). One bulk readback per device
-        shard + an O(rows) TSV write is link-bandwidth-bound instead.
-        Multi-process runs keep the Orbax path (every process must write
-        only ITS shards, which Orbax coordinates); ``load`` reads both
-        formats."""
+        ~180 s build — and a 10M-string JSON serializes for tens of
+        seconds). The device→host readback is CHUNKED (row slices of
+        ``SSE_SAVE_CHUNK_MB``, default 16): on the tunneled runtime a
+        single bulk transfer DEGRADES with message size (128 MB moves at
+        ~2.5 MB/s, 1.28 GB at ~1.1 MB/s — a 20-minute save at 10M rows,
+        measured r3), while Orbax's chunked reads sustain ~9 MB/s; on
+        directly-attached hosts chunking costs nothing. Each chunk lands
+        straight in an open_memmap'd .npy, so peak host memory is one
+        chunk. Multi-process runs keep the Orbax path (every process
+        must write only ITS shards, which Orbax coordinates); ``load``
+        reads both formats."""
         if jax.process_count() > 1:
             self._save_orbax(directory)
             return
@@ -282,12 +286,27 @@ class ShardedIndex:
                 continue
             seen_rows.add(row0)
             fname = f"emb_{len(shards):03d}.npy"
-            arr = np.asarray(s.data)
-            if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
-                # numpy can't serialize ml_dtypes (bfloat16) — store the
-                # raw bits; load() views them back via sidecar dtype
-                arr = arr.view(np.uint16)
-            np.save(os.path.join(directory, fname), arr)
+            data = s.data
+            rows, dim = data.shape
+            # numpy can't serialize ml_dtypes (bfloat16) — store the
+            # raw bits; load() views them back via sidecar dtype
+            as_bits = data.dtype.name == "bfloat16"
+            out_dtype = np.uint16 if as_bits else np.dtype(data.dtype.name)
+            out = np.lib.format.open_memmap(
+                os.path.join(directory, fname),
+                mode="w+",
+                dtype=out_dtype,
+                shape=(rows, dim),
+            )
+            chunk_mb = int(os.environ.get("SSE_SAVE_CHUNK_MB", "16"))
+            row_bytes = dim * out.dtype.itemsize
+            step = max(1, (chunk_mb << 20) // row_bytes)
+            for lo in range(0, rows, step):
+                hi = min(rows, lo + step)
+                part = np.asarray(data[lo:hi])
+                out[lo:hi] = part.view(np.uint16) if as_bits else part
+            out.flush()
+            del out
             shards.append({"file": fname, "row0": row0})
         with open(
             os.path.join(directory, "docs.tsv"), "w", encoding="utf-8"

@@ -119,6 +119,30 @@ def test_docs_tsv_escaping_round_trip(tmp_path):
     assert loaded.texts == texts
 
 
+def test_chunked_save_round_trip(tmp_path, monkeypatch):
+    """save() reads the device array back in row chunks (the tunneled
+    runtime degrades on single bulk transfers — docstring). A 1 MB chunk
+    size forces many chunks incl. a ragged tail; bf16 exercises the
+    bits-view path per chunk."""
+    import jax.numpy as jnp
+
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    monkeypatch.setenv("SSE_SAVE_CHUNK_MB", "1")
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((5000, 64), dtype=np.float32)
+    ids = [f"i{k}" for k in range(5000)]
+    idx = from_embeddings(emb, ids, ids, dtype=jnp.bfloat16)
+    d = str(tmp_path / "chunked")
+    idx.save(d)
+    loaded = ShardedIndex.load(d)
+    assert loaded.emb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(loaded.emb), np.asarray(idx.emb)
+    )
+    assert loaded.ids == ids
+
+
 def test_sharded_query_equals_single_device(setup):
     vocab, tspace, model_cfg, params, tg = setup
     queries = ["gudi foso qefo", "zana bole", "xyzzy unknown words"]
