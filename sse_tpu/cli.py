@@ -250,7 +250,11 @@ def cmd_serve(args) -> int:
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 1.0
         )
-    engine = ws.engine(data_dir=args.data_dir, k=args.k)
+    engine = ws.engine(
+        data_dir=args.data_dir,
+        k=args.k,
+        bulk_batch=args.bulk_batch or None,
+    )
     print("[sse] warming serving programs ...", flush=True)
     dt = engine.warmup()
     print(
@@ -444,6 +448,11 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument(
+        "--bulk_batch", type=int, default=256,
+        help="second warmed batch tier for bulk POST traffic "
+        "(0 disables; interactive queries keep the low-latency tier)",
+    )
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="throughput microbenchmarks")

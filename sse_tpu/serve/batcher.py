@@ -46,9 +46,10 @@ class MicroBatcher:
         self, texts: Sequence[str], timeout: Optional[float] = None
     ) -> List[List[Dict[str, Any]]]:
         """Bulk API: enqueue ALL texts, then wait for all — the dispatch
-        loop drains them in max_batch device batches, and they interleave
-        fairly with concurrent single queries (everything goes through
-        the ONE dispatch loop; nothing touches the engine off-thread).
+        loop drains them in max_dispatch device batches (the bulk tier
+        when configured), and they interleave fairly with concurrent
+        single queries (everything goes through the ONE dispatch loop;
+        nothing touches the engine off-thread).
 
         `timeout` bounds the WHOLE call (one shared deadline), not each
         item — a per-item wait would let a bulk call block for up to
@@ -92,8 +93,11 @@ class MicroBatcher:
             if first is None:
                 return
             batch = [first]
-            # drain whatever is ALREADY queued, up to the device batch size
-            while len(batch) < self.engine.max_batch:
+            # drain whatever is ALREADY queued, up to the LARGEST warmed
+            # batch tier — bulk POSTs flood the queue and ride one big
+            # device call; sparse interactive traffic still dispatches
+            # in (and pads to) the small low-latency tier
+            while len(batch) < self.engine.max_dispatch:
                 try:
                     item = self._q.get_nowait()
                 except queue.Empty:

@@ -74,7 +74,9 @@ def make_handler(
         with reload_lock:
             ws = Workspace.open(model_dir)
             new_engine = ws.engine(
-                k=engine.requested_k, max_batch=engine.max_batch
+                k=engine.requested_k,
+                max_batch=engine.max_batch,
+                bulk_batch=engine.bulk_batch,
             )
             new_engine.warmup()
             with lock:  # atomic swap only

@@ -340,7 +340,11 @@ class Workspace:
         )
 
     def engine(
-        self, data_dir: Optional[str] = None, k: int = 10, max_batch: int = 8
+        self,
+        data_dir: Optional[str] = None,
+        k: int = 10,
+        max_batch: int = 8,
+        bulk_batch: Optional[int] = None,
     ) -> QueryEngine:
         """Load everything needed for serving. Uses the saved index if
         present, else builds one (requires data_dir)."""
@@ -369,5 +373,6 @@ class Workspace:
             index,
             max_seq_length=self.cfg.max_seq_length,
             max_batch=max_batch,
+            bulk_batch=bulk_batch,
             k=k,
         )

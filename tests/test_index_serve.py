@@ -323,6 +323,33 @@ def test_micro_batcher_concurrent(setup):
     batcher.close()
 
 
+def test_bulk_batch_tier(setup):
+    """With bulk_batch configured, a bulk call returns the same hits as
+    the small-tier engine, and the batcher drains a flooded queue into
+    ONE device dispatch on the bulk tier."""
+    from sse_tpu.serve import MicroBatcher
+
+    vocab, tspace, model_cfg, params, tg = setup
+    idx = build_index(params, model_cfg, tspace, batch_size=16)
+    small = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L,
+                        max_batch=4, k=3)
+    bulk = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L,
+                       max_batch=4, bulk_batch=16, k=3)
+    assert bulk.max_dispatch == 16
+    queries = [f"gudi foso {i}" for i in range(10)] + ["zana bole"] * 3
+    want = small.query(queries)
+    got = bulk.query(queries)  # pads to the 16-row tier in one call
+    assert [[h["targetId"] for h in r] for r in got] == [
+        [h["targetId"] for h in r] for r in want
+    ]
+    # a flooded queue drains past max_batch into the bulk tier
+    batcher = MicroBatcher(bulk)
+    res = batcher.query_many(queries, timeout=60)
+    assert [r[0]["targetId"] for r in res] == [r[0]["targetId"] for r in want]
+    assert batcher.stats["max_batch_seen"] > 4
+    batcher.close()
+
+
 def test_live_index_add(setup):
     """Grow a serving index in place: added docs become retrievable with
     NO recompilation (num_real is a runtime operand), padding exactness
