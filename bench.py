@@ -27,15 +27,16 @@ def main() -> int:
     import jax.numpy as jnp
 
     # serving-mode flagship config: bfloat16 index + packed-key Pallas
-    # selector (see BASELINE.md for the exact/fp32 variants). batch=1024
-    # rides the r3 chunked dispatch (engine scores it as two 512-query
-    # chunks at their measured-optimal tiles): 119.4k QPS vs 69.1k at
-    # batch=256 — per-query throughput rises monotonically with B now
-    # (BASELINE.md r3 serving sweep; B=256 remains the latency point).
+    # selector (see BASELINE.md for the exact/fp32 variants). batch=4096
+    # rides the r3 chunked dispatch (scored as 512-query chunks at their
+    # measured-optimal tiles inside ONE jitted program): same-run sweep
+    # 117.8k (B=1024) → 128k (2048) → 132–137k (4096) → 139k (8192) QPS
+    # — 4096 is the knee before latency doubles for +5% (BASELINE.md r3
+    # serving sweep; B=256 remains the latency point at ~70k).
     result = run_query_bench(
         num_targets=num_targets,
         encoding_dim=128,
-        batch=1024,
+        batch=4096,
         k=10,
         index_dtype=jnp.bfloat16,
     )
