@@ -152,12 +152,68 @@ def make_train_step(
         model_cfg.tgt_tower is not None and model_cfg.tgt_tower.dropout > 0
     )
 
+    # Merged-scan fast path: in shared-encoder mode WITHOUT hard-negative
+    # mining, the candidate rows don't depend on src_emb (mining does:
+    # it scores src_emb against the cache), so source and candidate
+    # batches can ride ONE tower scan of [B+C] rows instead of two
+    # sequential ones. The recurrence is latency-bound (BASELINE.md
+    # roofline: 4x rows ≈ 1.6x time), so halving the serialized chain
+    # count is a step-time win — UP TO a row count: measured on v5e
+    # (GRU h=128, sampled 128 negs), 640 merged rows = 1.17–1.21x
+    # faster, but 2176 rows = 0.92x (the per-step matmul leaves the
+    # latency-bound regime and two smaller scans pipeline better), so
+    # the merge is gated at 1024 rows — conservative in the unmeasured
+    # middle. Numerically identical when dropout is off (row-independent
+    # masked scan; trailing pad columns are masked — the pad-trim
+    # equality tests pin this); with dropout on, rows draw from one
+    # merged stream instead of two (a different but equally valid
+    # sample).
+    merged_rows = 2 * cfg.batch_size + (
+        loss_cfg.num_negatives if loss_cfg.kind == "sampled" else 0
+    )
+    merged_scan = (
+        model_cfg.mode == NetworkMode.SHARED_ENCODER  # one weight set
+        and loss_cfg.kind in ("inbatch", "sampled")
+        and loss_cfg.num_hard_negatives == 0
+        and merged_rows <= 1024
+    )
+
+    def _merged_loss(params, src, src_len, labels, weight, tgt_tokens,
+                     tgt_lens, step, labels_multi, dropout_rng):
+        cand_rows = labels
+        if loss_cfg.kind == "sampled":
+            key = jax.random.fold_in(base_key, step)
+            negs = losses_lib.sample_negative_rows(
+                key, tgt_tokens.shape[0], loss_cfg.num_negatives
+            )
+            cand_rows = jnp.concatenate([cand_rows, negs])
+        ct = jnp.take(tgt_tokens, cand_rows, axis=0)
+        cl = jnp.take(tgt_lens, cand_rows, axis=0)
+        width = max(src.shape[1], ct.shape[1])
+        pad = lambda t: jnp.pad(t, ((0, 0), (0, width - t.shape[1])))
+        both = jnp.concatenate([pad(src), pad(ct)])
+        emb = sse.encode_source(
+            params, model_cfg, both,
+            jnp.concatenate([src_len, cl]), dropout_rng=dropout_rng,
+        )
+        b = src.shape[0]
+        return losses_lib.similarity_loss(
+            loss_cfg, emb[:b], labels, weight,
+            cand_emb=emb[b:], cand_rows=cand_rows,
+            labels_multi=labels_multi,
+        )
+
     def loss_fn(params, src, src_len, labels, weight, tgt_tokens, tgt_lens,
                 step, tgt_emb_cache, labels_multi):
         d_src = d_tgt = None
         if use_dropout:
             d_src, d_tgt = jax.random.split(
                 jax.random.fold_in(drop_base, step)
+            )
+        if merged_scan:
+            return _merged_loss(
+                params, src, src_len, labels, weight, tgt_tokens,
+                tgt_lens, step, labels_multi, d_src,
             )
         src_emb = sse.encode_source(
             params, model_cfg, src, src_len, dropout_rng=d_src

@@ -261,6 +261,56 @@ def test_hard_negative_mining_trains():
     assert result["recall@1"] > 0.7, result
 
 
+def test_merged_scan_matches_separate_encodes():
+    """The shared-encoder merged-scan fast path (src + candidates in ONE
+    tower scan — sse_tpu/train/loop.py) must produce exactly the loss
+    the two-call formulation does (dropout off ⇒ bit-level math match up
+    to reduction order)."""
+    from sse_tpu.models import sse
+    from sse_tpu.train import losses as losses_lib
+    from sse_tpu.train import make_train_step
+
+    vocab, tspace, train_pairs, eval_pairs = build_task("ranking")
+    model_cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER, src_tower=tower(vocab.vocab_size)
+    )
+    loss_cfg = LossConfig(kind="sampled", num_negatives=8,
+                          num_hard_negatives=0)
+    cfg = TrainConfig(batch_size=16, learning_rate=0.05, loss=loss_cfg,
+                      max_epochs=1, seed=3)
+    state = init_train_state(jax.random.PRNGKey(1), model_cfg, cfg)
+    batch = next(BatchIterator(
+        train_pairs, global_batch_size=16, seed=0).epoch_batches(0))
+    step_fn = make_train_step(model_cfg, cfg, donate=False)
+    _, metrics = step_fn(
+        state, batch.src, batch.src_len, batch.labels, batch.weight,
+        tspace.tokens, tspace.lengths,
+    )
+    # the unmerged formulation, recomputed from first principles with
+    # the same negative-sampling stream (base_key=seed, folded by step)
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+    negs = losses_lib.sample_negative_rows(
+        key, tspace.tokens.shape[0], loss_cfg.num_negatives
+    )
+    cand_rows = jnp.concatenate([jnp.asarray(batch.labels), negs])
+    src_emb = sse.encode_source(
+        state.params, model_cfg, jnp.asarray(batch.src),
+        jnp.asarray(batch.src_len),
+    )
+    cand_emb = sse.target_embeddings(
+        state.params, model_cfg,
+        tokens=jnp.take(tspace.tokens, cand_rows, axis=0),
+        lengths=jnp.take(tspace.lengths, cand_rows, axis=0),
+    )
+    want, _ = losses_lib.similarity_loss(
+        loss_cfg, src_emb, jnp.asarray(batch.labels),
+        jnp.asarray(batch.weight), cand_emb=cand_emb, cand_rows=cand_rows,
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(want), rtol=1e-5
+    )
+
+
 def test_ema_averaging_and_checkpoint(tmp_path):
     """EMA (Polyak) averaging: ema_params track the configured decay
     exactly, checkpoint-roundtrip with the averaged tree, and
