@@ -57,6 +57,17 @@ parity-comp:  ## the ORDER-SENSITIVE benchmark: BoW-bound 0.125, bigram/Bayes ce
 	    2>/dev/null | tail -1 | sed "s/^/[comp-$$name] /"; \
 	done
 
+capstone:  ## the 10M-doc full-stack protocol (BASELINE.md r3): gen -> train -> index -> eval-through-index -> bench. ~25 min on a v5e.
+	@$(PY) -m sse_tpu.cli demo-data --profile scale --out_dir rawdata-scale \
+	  --num_targets 10000000 --train_per_target 1048576
+	@$(PY) -m sse_tpu.cli train --task_type ranking --network_mode shared-encoder \
+	  --data_dir rawdata-scale --model_dir models-scale --max_seq_length 24 \
+	  --max_epochs 2 --num_hard_negatives 0 --steps_per_checkpoint 4096 \
+	  --index_dtype int8 --eval_sample_targets 131072 2>/dev/null | tail -1
+	@$(PY) -m sse_tpu.cli index --model_dir models-scale --data_dir rawdata-scale | tail -2
+	@$(PY) -m sse_tpu.cli eval --model_dir models-scale --data_dir rawdata-scale --use_index | tail -1
+	@$(PY) -m sse_tpu.cli bench --kind query --model_dir models-scale --batch 256 | tail -1
+
 parity-easy:  ## SMOKE TEST ONLY: the r1 easy corpora — every working model saturates at recall 1.000
 	@echo "[smoke] easy corpora saturate at 1.000 — this verifies plumbing, not quality (use 'make parity')"
 	@for task in classification ranking crosslingual qna; do \
