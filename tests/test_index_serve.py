@@ -433,6 +433,76 @@ def test_concurrent_add_and_query_http(setup):
     assert eng.index.num_real == 44
 
 
+def test_concurrent_bulk_and_single_http(setup):
+    """Two-tier stress: concurrent bulk POSTs (ride the bulk tier) and
+    single GETs (small tier) against live adds — no errors, consistent
+    results, and bulk responses always carry one row list per query."""
+    import threading
+
+    vocab, tspace, model_cfg, params, tg = setup
+    emb = np.asarray(build_index(params, model_cfg, tspace).emb)[:24]
+    idx = from_embeddings(emb, tspace.ids, tspace.texts, capacity=128)
+    eng = QueryEngine(params, model_cfg, vocab, idx, max_seq_length=L,
+                      max_batch=4, bulk_batch=16, k=3)
+    server = serve_http(eng, port=0, block=False)
+    port = server.server_address[1]
+    errors = []
+    stop = threading.Event()
+
+    def bulk_poster():
+        while not stop.is_set():
+            try:
+                body = json.dumps(
+                    {"queries": [f"gudi foso {i}" for i in range(12)]}
+                ).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/query", data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    out = json.loads(r.read())
+                rows = out.get("results", [])
+                if len(rows) != 12:
+                    errors.append(f"bulk returned {len(rows)} rows")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    def single_getter():
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/query?keywords=zana+bole",
+                    timeout=60,
+                ) as r:
+                    json.loads(r.read())
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    threads = [threading.Thread(target=bulk_poster) for _ in range(2)] + [
+        threading.Thread(target=single_getter)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(8):
+            payload = json.dumps(
+                [{"targetId": f"badd{i}", "targetText": f"bulk doc {i}"}]
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/add", data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert json.loads(r.read())["added"] == 1
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+        server.shutdown()
+        server.server_close()
+    assert not errors, errors[:5]
+
+
 def test_engine_k_regrows_after_add(setup):
     """An engine started on a tiny index clamps k, but must raise it back
     toward the originally requested k as add_documents grows the index
