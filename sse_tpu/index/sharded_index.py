@@ -30,13 +30,21 @@ import orbax.checkpoint as ocp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sse_tpu.data.corpus import TargetSpace
+from sse_tpu.models import sse
+from sse_tpu.models.sse import NetworkMode, SSEConfig
 
 
 def _esc(s: str) -> str:
     """docs.tsv field escape: source TSVs cannot contain tabs/newlines in
-    fields, but live add() accepts arbitrary strings over HTTP."""
+    fields, but live add() accepts arbitrary strings over HTTP. '\\r' is
+    escaped too (and reads use newline='\\n'): a raw carriage return
+    would otherwise split one row into two under universal newlines,
+    misaligning every later row against its embedding."""
     return (
-        s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
     )
 
 
@@ -46,14 +54,14 @@ def _unesc(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < n:
             nxt = s[i + 1]
-            out.append({"t": "\t", "n": "\n", "\\": "\\"}.get(nxt, nxt))
+            out.append(
+                {"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, nxt)
+            )
             i += 2
         else:
             out.append(c)
             i += 1
     return "".join(out)
-from sse_tpu.models import sse
-from sse_tpu.models.sse import NetworkMode, SSEConfig
 
 
 def _round_up(x: int, m: int) -> int:
@@ -309,7 +317,8 @@ class ShardedIndex:
             del out
             shards.append({"file": fname, "row0": row0})
         with open(
-            os.path.join(directory, "docs.tsv"), "w", encoding="utf-8"
+            os.path.join(directory, "docs.tsv"),
+            "w", encoding="utf-8", newline="\n",
         ) as f:
             for tid, txt in zip(self.ids, self.texts):
                 f.write(f"{_esc(tid)}\t{_esc(txt)}\n")
@@ -326,6 +335,19 @@ class ShardedIndex:
                 },
                 f,
             )
+        # drop files the new sidecar no longer references: a legacy Orbax
+        # 'emb/' checkpoint (format upgrade would otherwise strand ~GBs
+        # forever) and higher-numbered emb_NNN.npy from a wider old mesh
+        import glob as _glob
+        import shutil as _shutil
+
+        orbax_dir = os.path.join(directory, "emb")
+        if os.path.isdir(orbax_dir):
+            _shutil.rmtree(orbax_dir, ignore_errors=True)
+        live = {s["file"] for s in shards}
+        for f in _glob.glob(os.path.join(directory, "emb_*.npy")):
+            if os.path.basename(f) not in live:
+                os.unlink(f)
 
     def _save_orbax(self, directory: str) -> None:
         directory = os.path.abspath(directory)
@@ -348,6 +370,15 @@ class ShardedIndex:
                 f,
                 ensure_ascii=False,
             )
+        # mirror of save()'s cleanup: drop npy-v1 files a format
+        # downgrade (e.g. a multi-process re-save) no longer references
+        import glob as _glob
+
+        for fn in _glob.glob(os.path.join(directory, "emb_*.npy")) + [
+            os.path.join(directory, "docs.tsv")
+        ]:
+            if os.path.exists(fn):
+                os.unlink(fn)
 
     @classmethod
     def load(cls, directory: str, mesh: Optional[Mesh] = None) -> "ShardedIndex":
@@ -368,21 +399,48 @@ class ShardedIndex:
                 np.load(os.path.join(directory, s["file"]), mmap_mode="r")
                 for s in sorted(side["shards"], key=lambda s: s["row0"])
             ]
-            host = parts[0] if len(parts) == 1 else np.concatenate(parts)
             if side["dtype"] == "bfloat16":
                 import ml_dtypes
 
-                host = np.asarray(host).view(ml_dtypes.bfloat16)
-            emb = jax.device_put(host, sharding)
+                parts = [p.view(ml_dtypes.bfloat16) for p in parts]
+            bounds = np.cumsum([0] + [p.shape[0] for p in parts])
+
+            def from_parts(idx):
+                # assemble one device shard's rows from the memmapped
+                # parts WITHOUT materializing the whole matrix in RAM
+                # (shard boundaries usually equal part boundaries, so
+                # this is one zero-copy memmap slice per device)
+                lo, hi = idx[0].indices(int(bounds[-1]))[:2]
+                segs = []
+                for p, p0, p1 in zip(parts, bounds[:-1], bounds[1:]):
+                    if p1 <= lo or p0 >= hi:
+                        continue
+                    segs.append(p[max(lo - p0, 0) : hi - p0])
+                return segs[0] if len(segs) == 1 else np.concatenate(segs)
+
+            emb = jax.make_array_from_callback(
+                tuple(side["shape"]), sharding, from_parts
+            )
             ids: List[str] = []
             texts: List[str] = []
+            # newline='\n': a raw '\r' in a legacy (pre-escape) file must
+            # stay inside its field, not split the row (universal
+            # newlines would); current saves escape it anyway
             with open(
-                os.path.join(directory, "docs.tsv"), "r", encoding="utf-8"
+                os.path.join(directory, "docs.tsv"),
+                "r", encoding="utf-8", newline="\n",
             ) as f:
                 for line in f:
                     tid, _, txt = line.rstrip("\n").partition("\t")
                     ids.append(_unesc(tid))
                     texts.append(_unesc(txt))
+            if len(ids) != side["num_real"]:
+                raise ValueError(
+                    f"corrupt index at {directory}: docs.tsv has "
+                    f"{len(ids)} rows but sidecar num_real="
+                    f"{side['num_real']} — fail fast instead of serving "
+                    "misaligned ids"
+                )
         else:  # legacy Orbax layout (and multi-process saves)
             with ocp.StandardCheckpointer() as ckptr:
                 abstract = jax.ShapeDtypeStruct(

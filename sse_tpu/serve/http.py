@@ -256,7 +256,8 @@ def make_handler(
                 return
             if url.path == "/api/save":
                 # persist live adds/deletes (they are otherwise volatile);
-                # ShardedIndex.save writes Orbax + sidecar atomically
+                # ShardedIndex.save writes per-shard npy + docs.tsv +
+                # sidecar (Orbax only for multi-process saves) atomically
                 # enough for a restart to pick the new state up
                 if index_dir is None:
                     self._send(

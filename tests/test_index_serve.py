@@ -110,7 +110,7 @@ def test_docs_tsv_escaping_round_trip(tmp_path):
 
     emb = np.eye(4, 8, dtype=np.float32)
     ids = ["a", "b\tc", "d\ne", "f\\g"]
-    texts = ["plain", "tab\there", "new\nline", "back\\slash\t\n"]
+    texts = ["plain", "car\rriage", "new\r\nline", "back\\slash\t\n\r"]
     idx = from_embeddings(emb, ids, texts)
     d = str(tmp_path / "esc")
     idx.save(d)
