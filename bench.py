@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    from sse_tpu.cli import _apply_platform_env
+
+    _apply_platform_env()  # SSE_PLATFORM=cpu:N debuggability, as the CLI
+
     from sse_tpu.bench import run_query_bench
 
     import jax
@@ -63,5 +67,29 @@ def main() -> int:
     return 0
 
 
+def _watchdog() -> None:
+    """Fail loudly instead of hanging forever when the device link is
+    dead (observed: the tunneled runtime can black-hole dispatches for
+    hours — a trivial matmul neither completes nor errors). The driver
+    treats a nonzero exit as a failed bench; an eternal hang it cannot."""
+    import threading
+
+    limit = float(os.environ.get("SSE_BENCH_WATCHDOG_S", "1800"))
+
+    def boom():
+        print(
+            f"[bench] watchdog: no result after {limit:.0f}s — "
+            "device link presumed dead",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(limit, boom)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _watchdog()
     sys.exit(main())
