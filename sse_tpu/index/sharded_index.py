@@ -272,28 +272,25 @@ class ShardedIndex:
         ``SSE_SAVE_CHUNK_MB``, default 16): on the tunneled runtime a
         single bulk transfer DEGRADES with message size (128 MB moves at
         ~2.5 MB/s, 1.28 GB at ~1.1 MB/s — a 20-minute save at 10M rows,
-        measured r3), while Orbax's chunked reads sustain ~9 MB/s; on
+        measured r3), while chunked reads sustain ~9 MB/s; on
         directly-attached hosts chunking costs nothing. Each chunk lands
         straight in an open_memmap'd .npy, so peak host memory is one
-        chunk. Multi-process runs keep the Orbax path (every process
-        must write only ITS shards, which Orbax coordinates); ``load``
-        reads both formats."""
-        if jax.process_count() > 1:
-            self._save_orbax(directory)
-            return
+        chunk.
+
+        Multi-process: every process writes only ITS device shards
+        (``replica_id == 0`` dedups replicated layouts), file names are
+        keyed by GLOBAL row offset so the layout is mesh-independent,
+        and process 0 writes docs.tsv + sidecar after a cross-process
+        barrier. Assumes a shared filesystem across processes (the same
+        assumption the Orbax path made). ``load`` also reads the legacy
+        Orbax format."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
-        shards = []
-        seen_rows = set()  # replicated layouts repeat row ranges per device
-        for s in sorted(
-            self.emb.addressable_shards,
-            key=lambda s: (s.index[0].start or 0),
-        ):
-            row0 = int(s.index[0].start or 0)
-            if row0 in seen_rows:
+        chunk_mb = int(os.environ.get("SSE_SAVE_CHUNK_MB", "16"))
+        for s in self.emb.addressable_shards:
+            if s.replica_id != 0:  # replicated copy of rows someone owns
                 continue
-            seen_rows.add(row0)
-            fname = f"emb_{len(shards):03d}.npy"
+            row0 = int(s.index[0].start or 0)
             data = s.data
             rows, dim = data.shape
             # numpy can't serialize ml_dtypes (bfloat16) — store the
@@ -301,12 +298,11 @@ class ShardedIndex:
             as_bits = data.dtype.name == "bfloat16"
             out_dtype = np.uint16 if as_bits else np.dtype(data.dtype.name)
             out = np.lib.format.open_memmap(
-                os.path.join(directory, fname),
+                os.path.join(directory, f"emb_r{row0:012d}.npy"),
                 mode="w+",
                 dtype=out_dtype,
                 shape=(rows, dim),
             )
-            chunk_mb = int(os.environ.get("SSE_SAVE_CHUNK_MB", "16"))
             row_bytes = dim * out.dtype.itemsize
             step = max(1, (chunk_mb << 20) // row_bytes)
             for lo in range(0, rows, step):
@@ -315,39 +311,64 @@ class ShardedIndex:
                 out[lo:hi] = part.view(np.uint16) if as_bits else part
             out.flush()
             del out
-            shards.append({"file": fname, "row0": row0})
-        with open(
-            os.path.join(directory, "docs.tsv"),
-            "w", encoding="utf-8", newline="\n",
-        ) as f:
-            for tid, txt in zip(self.ids, self.texts):
-                f.write(f"{_esc(tid)}\t{_esc(txt)}\n")
-        with open(
-            os.path.join(directory, "sidecar.json"), "w", encoding="utf-8"
-        ) as f:
-            json.dump(
-                {
-                    "format": "npy-v1",
-                    "num_real": self.num_real,
-                    "shape": list(self.emb.shape),
-                    "dtype": str(self.emb.dtype),
-                    "shards": shards,
-                },
-                f,
-            )
-        # drop files the new sidecar no longer references: a legacy Orbax
-        # 'emb/' checkpoint (format upgrade would otherwise strand ~GBs
-        # forever) and higher-numbered emb_NNN.npy from a wider old mesh
-        import glob as _glob
-        import shutil as _shutil
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
 
-        orbax_dir = os.path.join(directory, "emb")
-        if os.path.isdir(orbax_dir):
-            _shutil.rmtree(orbax_dir, ignore_errors=True)
-        live = {s["file"] for s in shards}
-        for f in _glob.glob(os.path.join(directory, "emb_*.npy")):
-            if os.path.basename(f) not in live:
-                os.unlink(f)
+            # every shard file must exist before process 0 publishes the
+            # sidecar that references it
+            multihost_utils.sync_global_devices("sse_index_save_shards")
+        if jax.process_index() == 0:
+            # the sidecar lists EVERY shard — derived from the GLOBAL
+            # sharding, not just this process's addressable slice
+            all_row0 = sorted(
+                {
+                    int(idx[0].start or 0)
+                    for idx in self.emb.sharding.devices_indices_map(
+                        self.emb.shape
+                    ).values()
+                }
+            )
+            shards = [
+                {"file": f"emb_r{r:012d}.npy", "row0": r} for r in all_row0
+            ]
+            with open(
+                os.path.join(directory, "docs.tsv"),
+                "w", encoding="utf-8", newline="\n",
+            ) as f:
+                for tid, txt in zip(self.ids, self.texts):
+                    f.write(f"{_esc(tid)}\t{_esc(txt)}\n")
+            with open(
+                os.path.join(directory, "sidecar.json"),
+                "w", encoding="utf-8",
+            ) as f:
+                json.dump(
+                    {
+                        "format": "npy-v1",
+                        "num_real": self.num_real,
+                        "shape": list(self.emb.shape),
+                        "dtype": str(self.emb.dtype),
+                        "shards": shards,
+                    },
+                    f,
+                )
+            # drop files the new sidecar no longer references: a legacy
+            # Orbax 'emb/' checkpoint (a format upgrade would otherwise
+            # strand ~GBs forever) and emb_*.npy from an older layout
+            import glob as _glob
+            import shutil as _shutil
+
+            orbax_dir = os.path.join(directory, "emb")
+            if os.path.isdir(orbax_dir):
+                _shutil.rmtree(orbax_dir, ignore_errors=True)
+            live = {s["file"] for s in shards}
+            for f in _glob.glob(os.path.join(directory, "emb_*.npy")):
+                if os.path.basename(f) not in live:
+                    os.unlink(f)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # no process returns from save() before the index is complete
+            multihost_utils.sync_global_devices("sse_index_save_done")
 
     def _save_orbax(self, directory: str) -> None:
         directory = os.path.abspath(directory)

@@ -123,6 +123,29 @@ def main() -> int:
     from sse_tpu.parallel.topk import distributed_topk
     from sse_tpu.train import train
 
+    if mode == "indexsave":
+        # multi-process npy save: every process writes its own shards,
+        # process 0 the metadata; the PARENT reloads single-process and
+        # compares against this deterministic matrix
+        from sse_tpu.index.sharded_index import from_embeddings
+
+        out_dir = sys.argv[5]
+        mesh_t = make_mesh(data=1, model=2 * nproc)
+        emb = (
+            np.random.default_rng(42)
+            .standard_normal((50, 16))
+            .astype(np.float32)
+        )
+        idx = from_embeddings(
+            emb,
+            [f"d{i}" for i in range(50)],
+            [f"text\t{i}\n" for i in range(50)],  # exercise escaping too
+            mesh=mesh_t,
+        )
+        idx.save(out_dir)
+        print("RESULT " + json.dumps({"pid": pid, "saved": True}), flush=True)
+        return 0
+
     pairs, tspace, model_cfg, cfg = build_problem(mode)
 
     mesh = make_mesh(data=2 * nproc, model=1)

@@ -73,3 +73,51 @@ def test_two_process_train_and_topk(mode):
     ref_sum, ref_abs = params_sums(state.params)
     assert r0["table_sum"] == pytest.approx(ref_sum, rel=2e-4)
     assert r0["table_abs"] == pytest.approx(ref_abs, rel=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_index_save_then_single_process_load(tmp_path):
+    """Multi-process npy save (each process writes only ITS shards over a
+    4-device {model} mesh; process 0 writes metadata after the barrier)
+    must reload in a SINGLE process bit-identical, with escaping intact."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out_dir = str(tmp_path / "mpidx")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), "2", coord, "indexsave",
+             out_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=_REPO,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        assert any(l.startswith("RESULT ") for l in out.splitlines())
+
+    import json as _json
+
+    with open(os.path.join(out_dir, "sidecar.json")) as f:
+        side = _json.load(f)
+    assert side["format"] == "npy-v1"
+    assert len(side["shards"]) == 4  # one per device of the global mesh
+
+    from sse_tpu.index.sharded_index import ShardedIndex
+
+    idx = ShardedIndex.load(out_dir)
+    want = (
+        np.random.default_rng(42).standard_normal((50, 16)).astype(np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(idx.emb)[:50], want)
+    assert idx.ids == [f"d{i}" for i in range(50)]
+    assert idx.texts == [f"text\t{i}\n" for i in range(50)]
