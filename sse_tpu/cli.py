@@ -253,6 +253,7 @@ def cmd_serve(args) -> int:
     engine = ws.engine(
         data_dir=args.data_dir,
         k=args.k,
+        max_batch=args.max_batch,
         bulk_batch=args.bulk_batch or None,
     )
     print("[sse] warming serving programs ...", flush=True)
@@ -448,6 +449,11 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument(
+        "--max_batch", type=int, default=8,
+        help="low-latency device batch tier (interactive queries pad to "
+        "this; micro-batcher coalesces up to it under load)",
+    )
     p.add_argument(
         "--bulk_batch", type=int, default=256,
         help="second warmed batch tier for bulk POST traffic "

@@ -436,11 +436,20 @@ def serve_http(
         make_handler(engine, index_dir=index_dir, model_dir=model_dir),
     )
     if block:
+        # SIGTERM == Ctrl-C for container/orchestrator deployments: stop
+        # accepting, finish in-flight handlers, close the socket
+        import signal
+
+        def _term(signum, frame):  # noqa: ARG001
+            raise KeyboardInterrupt
+
+        prev = signal.signal(signal.SIGTERM, _term)
         try:
             server.serve_forever()
         except KeyboardInterrupt:
             pass
         finally:
+            signal.signal(signal.SIGTERM, prev)
             server.server_close()
         return None
     threading.Thread(target=server.serve_forever, daemon=True).start()
