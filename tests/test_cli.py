@@ -167,3 +167,39 @@ def test_cli_full_flow(tmp_path):
     assert r.returncode == 0, r.stderr
     cfg = json.loads((tmp_path / "boolrun" / "config.json").read_text())
     assert cfg["bidirectional"] is False and cfg["streaming"] is True
+
+
+@pytest.mark.slow
+def test_cli_scale_protocol_flow(tmp_path):
+    """The 10M capstone protocol (BASELINE.md r3 / `make capstone`) at CI
+    scale: scale-profile gen → shared-encoder train (merged-scan path,
+    no mining) → int8 index (npy-v1 save) → eval through the index."""
+    wd = str(tmp_path)
+    r = run_cli(
+        ["demo-data", "--profile", "scale", "--out_dir", "data",
+         "--num_targets", "400", "--train_per_target", "2048",
+         "--eval_per_target", "256"],
+        wd,
+    )
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        ["train", "--task_type", "ranking", "--network_mode",
+         "shared-encoder", "--data_dir", "data", "--model_dir", "run",
+         "--max_seq_length", "24", "--max_epochs", "4",
+         "--num_hard_negatives", "0", "--index_dtype", "int8",
+         "--steps_per_checkpoint", "1000"],
+        wd,
+    )
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["index", "--model_dir", "run", "--data_dir", "data"], wd)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(tmp_path / "run" / "index" / "sidecar.json")
+    assert os.path.exists(tmp_path / "run" / "index" / "docs.tsv")
+    r = run_cli(
+        ["eval", "--model_dir", "run", "--data_dir", "data", "--use_index"],
+        wd,
+    )
+    assert r.returncode == 0, r.stderr
+    metrics = json.loads(r.stdout.strip().splitlines()[-1].split("] ", 1)[1])
+    # word-subset sources over 400 int8-indexed targets: near-perfect
+    assert metrics["recall@10"] > 0.9, metrics
