@@ -143,6 +143,31 @@ def test_chunked_save_round_trip(tmp_path, monkeypatch):
     assert loaded.ids == ids
 
 
+def test_save_load_replicated_data_axis(tmp_path):
+    """On a {data, model} mesh the index rows replicate across 'data';
+    save() must write each row range ONCE (replica_id gate) and reload
+    exactly."""
+    import os
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    emb = np.random.default_rng(0).standard_normal((100, 32)).astype(
+        np.float32
+    )
+    ids = [str(i) for i in range(100)]
+    idx = from_embeddings(emb, ids, ids, mesh=mesh, dtype=jnp.bfloat16)
+    d = str(tmp_path / "dm")
+    idx.save(d)
+    with open(os.path.join(d, "sidecar.json")) as f:
+        side = json.load(f)
+    assert len(side["shards"]) == 2  # one per 'model' slice, not per device
+    loaded = ShardedIndex.load(d, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.emb), np.asarray(idx.emb)
+    )
+
+
 def test_sharded_query_equals_single_device(setup):
     vocab, tspace, model_cfg, params, tg = setup
     queries = ["gudi foso qefo", "zana bole", "xyzzy unknown words"]
