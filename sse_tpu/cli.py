@@ -154,6 +154,14 @@ def cmd_index(args) -> int:
     from sse_tpu.workspace import Workspace
 
     ws = Workspace.open(args.model_dir)
+    if args.index_dtype:
+        # transient override: rebuild an existing model's index at a
+        # different precision (e.g. int8 for 4x rows/chip) without
+        # retraining; the saved config is NOT rewritten — the built
+        # index carries its dtype in its own sidecar
+        import dataclasses as _dc
+
+        ws.cfg = _dc.replace(ws.cfg, index_dtype=args.index_dtype)
     t0 = time.perf_counter()
     phases: dict = {}
     index = ws.build_index(
@@ -421,6 +429,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--capacity", type=int, default=None,
         help="reserve index rows for live POST /api/add growth",
+    )
+    p.add_argument(
+        "--index_dtype", default=None,
+        choices=["float32", "bfloat16", "int8"],
+        help="override the trained config's index precision for THIS "
+        "build (e.g. int8 = 4x rows/chip) without retraining",
     )
     p.set_defaults(fn=cmd_index)
 
