@@ -44,6 +44,9 @@ class TaskConfig:
     # it plateaus with collapsed embeddings at RNN-tuned rates).
     cell: str = "gru"
     readout: str = "final"  # final | mean | attention (towers.TowerConfig)
+    # identity skips between stacked RNN layers — required for
+    # num_layers ≥ 3 (a bare 3-layer GRU collapses; BASELINE.md r3)
+    residual: bool = False
     # training
     batch_size: int = 128
     learning_rate: float = 0.01
@@ -99,6 +102,7 @@ class TaskConfig:
             readout=self.readout,
             max_len=max(self.max_seq_length, 512),
             dropout=self.dropout,
+            residual=self.residual,
         )
         mode = NetworkMode(self.network_mode)
         if mode == NetworkMode.SOURCE_ENCODER_ONLY:

@@ -60,6 +60,14 @@ class TowerConfig:
     # the caller passes a dropout rng (training); eval/serving paths pass
     # none and are untouched.
     dropout: float = 0.0
+    # Identity skip connections between stacked RNN layers (l≥1, where
+    # in/out dims match). Measured necessity, not decoration: without
+    # them a 3-layer GRU on the compositional benchmark collapses to
+    # 0.31 recall@1 vs the 2-layer's 0.84 (BASELINE.md r3 negative
+    # results) — the classic deep-RNN signal-degradation failure.
+    # Transformer towers are residual by construction; this flag only
+    # affects gru/lstm stacks and is a no-op at num_layers == 1.
+    residual: bool = False
 
 
 def _glorot(key, shape):
@@ -406,8 +414,18 @@ def encode_raw(
             xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L,B,E]
             mask = valid.T[:, :, None]  # [L,B,1]
             final = None
-            for layer in params["layers"]:
-                xs, final = _rnn_layer(layer, xs, mask, cfg.cell)
+            for li, layer in enumerate(params["layers"]):
+                ys, fin = _rnn_layer(layer, xs, mask, cfg.cell)
+                if cfg.residual and li > 0:
+                    # identity skip (H == H for l ≥ 1). Carry-freezing makes
+                    # every layer's outputs constant past each row's own
+                    # length, so the stream's LAST timestep is exactly its
+                    # value at the row's length — the residual `final` is
+                    # fin + stream[-1] with no gather.
+                    final = fin + xs[-1].astype(jnp.float32)
+                    xs = xs + ys
+                else:
+                    final, xs = fin, ys
             states = xs.transpose(1, 0, 2).astype(jnp.float32)  # [B,L,H]
         if cfg.readout == "final":
             feats = final  # [B,H] fp32 — state at each row's own length

@@ -143,7 +143,7 @@ def rnn_encode(
     xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L, B, E]
     mask = valid.T[:, None, :]  # [L, 1, B]
     fin = None
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         wx, wh, b = _split_weights(layer, cfg.cell)
         ax = (
             jnp.dot(
@@ -153,5 +153,13 @@ def rnn_encode(
             )
             + b
         ).reshape(xs.shape[0], xs.shape[1], -1)
-        xs, fin = scan_layer(ax, mask, wh, cfg.cell, interpret=interpret)
+        ys, f = scan_layer(ax, mask, wh, cfg.cell, interpret=interpret)
+        if getattr(cfg, "residual", False) and li > 0:
+            # identity skip between stacked layers — mirrors the lax.scan
+            # path in towers.encode_raw (carry-freezing makes stream[-1]
+            # the value at each row's own length, so fin composes exactly)
+            fin = f + xs[-1].astype(jnp.float32)
+            xs = xs + ys
+        else:
+            fin, xs = f, ys
     return fin

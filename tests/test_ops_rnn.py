@@ -69,3 +69,34 @@ def test_encode_raw_flag_fallback():
     lengths = jnp.full((B,), L, jnp.int32)
     out = encode_raw(params, cfg, tokens, lengths)
     assert out.shape == (B, 16)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_pallas_rnn_matches_scan_residual(cell):
+    """Residual stacking must agree between the Pallas kernel path and
+    the lax.scan path (both apply the identity skip OUTSIDE the scan)."""
+    cfg = dataclasses.replace(tower(cell), num_layers=3, residual=True)
+    params = init_tower(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(B, L, 128)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(2, L + 1, size=(B,)), jnp.int32)
+    valid = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    fin_pallas = pallas_rnn.rnn_encode(params, cfg, emb, valid, interpret=True)
+
+    from sse_tpu.models.towers import _rnn_layer, _COMPUTE_DTYPE
+
+    xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)
+    mask = valid.T[:, :, None]
+    fin_scan = None
+    for li, layer in enumerate(params["layers"]):
+        ys, fin = _rnn_layer(layer, xs, mask, cell)
+        if li > 0:
+            fin_scan = fin + xs[-1].astype(jnp.float32)
+            xs = xs + ys
+        else:
+            fin_scan, xs = fin, ys
+
+    np.testing.assert_allclose(
+        np.asarray(fin_pallas), np.asarray(fin_scan), atol=2e-3, rtol=1e-3
+    )
