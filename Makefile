@@ -50,7 +50,8 @@ parity-hard: parity  ## alias (historical name)
 
 parity-comp:  ## the ORDER-SENSITIVE benchmark: BoW-bound 0.125, bigram/Bayes ceiling 0.899 (tools/comp_oracle.py)
 	@$(PY) -m sse_tpu.cli demo-data --task ranking --profile compositional --out_dir rawdata-comp >/dev/null
-	@for cfg in "bow --cell bow" "gru "; do \
+	@for cfg in "bow --cell bow" "gru " \
+	  "best --cell lstm --num_layers 3 --residual True --learning_rate 0.003 --max_epochs 40 --dropout 0.1"; do \
 	  set -- $$cfg; name=$$1; shift; \
 	  $(PY) -m sse_tpu.cli train --task_type ranking --data_dir rawdata-comp \
 	    --model_dir models-comp-$$name --steps_per_checkpoint 1000 $$* \
