@@ -154,7 +154,7 @@ def rnn_encode(
             + b
         ).reshape(xs.shape[0], xs.shape[1], -1)
         ys, f = scan_layer(ax, mask, wh, cfg.cell, interpret=interpret)
-        if getattr(cfg, "residual", False) and li > 0:
+        if cfg.residual and li > 0:
             # identity skip between stacked layers — mirrors the lax.scan
             # path in towers.encode_raw (carry-freezing makes stream[-1]
             # the value at each row's own length, so fin composes exactly)

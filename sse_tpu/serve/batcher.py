@@ -93,31 +93,37 @@ class MicroBatcher:
             if first is None:
                 return
             batch = [first]
-            # drain whatever is ALREADY queued, up to the LARGEST warmed
-            # batch tier — bulk POSTs flood the queue and ride one big
-            # device call; sparse interactive traffic still dispatches
-            # in (and pads to) the small low-latency tier
-            while len(batch) < self.engine.max_dispatch:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if item is None:
-                    self._stop = True
-                    break
-                batch.append(item)
-            texts = [t for t, _, _ in batch]
+            # EVERYTHING below (including attribute access on the engine
+            # and the stats updates) runs inside one try: an unexpected
+            # exception must fail this batch's waiters and keep the
+            # dispatch thread alive — a dead worker silently times out
+            # every subsequent query (r3 judge finding).
             try:
+                # drain whatever is ALREADY queued, up to the LARGEST
+                # warmed batch tier — bulk POSTs flood the queue and ride
+                # one big device call; sparse interactive traffic still
+                # dispatches in (and pads to) the small low-latency tier
+                while len(batch) < self.engine.max_dispatch:
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is None:
+                        self._stop = True
+                        break
+                    batch.append(item)
+                texts = [t for t, _, _ in batch]
                 results = self.engine.query(texts)
                 for (_, slot, done), res in zip(batch, results):
                     slot[0] = res
                     done.set()
-            except Exception as e:  # propagate to every waiter
+                self._stats["batches"] += 1
+                self._stats["queries"] += len(batch)
+                self._stats["max_batch_seen"] = max(
+                    self._stats["max_batch_seen"], len(batch)
+                )
+            except Exception as e:  # propagate to every unserved waiter
                 for _, slot, done in batch:
-                    slot[1] = e
-                    done.set()
-            self._stats["batches"] += 1
-            self._stats["queries"] += len(batch)
-            self._stats["max_batch_seen"] = max(
-                self._stats["max_batch_seen"], len(batch)
-            )
+                    if not done.is_set():
+                        slot[1] = e
+                        done.set()

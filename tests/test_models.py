@@ -272,11 +272,9 @@ def test_residual_rnn_stack(cell):
         atol=1e-5,
     )
 
-    # final == residual stream at the row's own length: on a batch whose
-    # rows are all FULL length, final-readout must equal the last column
-    # of the mean-readout path's stream; verify via L=lengths==max so
-    # mean over a 1-step suffix isolates stream[-1].
-    full_len = jnp.full((B,), L, jnp.int32)
+    # final == residual stream at the row's own length: on a LENGTH-1
+    # batch the mean readout averages exactly one state, so it must equal
+    # the final readout — this isolates stream[0] == final carry.
     c3r_mean = SSEConfig(
         mode=NetworkMode.SHARED_ENCODER,
         src_tower=tower(cell, num_layers=3, residual=True, readout="mean"),
@@ -291,4 +289,3 @@ def test_residual_rnn_stack(cell):
         np.asarray(encode_source(params3, c3r_mean, tok1, one)),
         atol=3e-3,
     )
-    del full_len
