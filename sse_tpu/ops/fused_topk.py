@@ -26,17 +26,21 @@ NEG = -3.0e38  # python scalar: jnp constants get captured by pallas tracing
 _INT8_INV = 1.0 / (127 * 127)  # int8-index scores → cosine range
 
 
-def _block_scores(q, blk):
+def _block_scores(q, blk, raw_int=False):
     """q @ blk.T with fp32 output. float operands accumulate in fp32 on
     the MXU; int8 operands accumulate EXACTLY in int32 (|score| <= 127^2
     * D < 2^24, so the fp32 conversion is exact too) and are rescaled to
-    cosine range — downstream selection is identical for both."""
+    cosine range — downstream selection is identical for both. With
+    ``raw_int`` (the packed kernel's int8 path) the exact int32 scores
+    are returned unconverted so selection runs on integers."""
     if blk.dtype == jnp.int8:
         s = jax.lax.dot_general(
             q, blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+        if raw_int:
+            return s
         return s.astype(jnp.float32) * _INT8_INV
     return jax.lax.dot_general(
         q, blk,
@@ -99,6 +103,46 @@ _NEG_SINK = int(
     (_b ^ ((_b >> 31) & _np.int32(0x7FFFFFFF))) & ~_np.int32(_IDX_MASK)
 )
 
+# ---- int8 EXACT keys (r4). int8-index scores are exact int32 integers,
+# and for 127-scale-quantized L2-normalized rows Cauchy-Schwarz bounds
+# them: |score| <= (127 + sqrt(D)/2)^2 < 2^18 for every D < 590k. So the
+# UNQUANTIZED score fits the key's high 19 bits: key = (score << 12) |
+# (4095 - col) — two's-complement shift keeps integer order, low bits
+# break ties toward the lower column, and selection is bit-exact w.r.t.
+# the true int32 scores (the 11-mantissa-bit quantization that costs the
+# float paths ~1.2e-4 relative simply does not exist here). Out-of-
+# contract inputs (unnormalized int8 rows) are clamped at encode time to
+# saturate instead of wrapping.
+_INT_SCORE_CLIP = (1 << 18) - 1
+_INT_SINK = -(1 << 30)  # low 12 bits zero; > INT_MIN, < any clipped key
+_INT_THR_INIT = -(1 << 20)  # below any real int8 score
+
+
+def _enc_key(scores, int_exact):
+    """Sortable int32 key with the low 12 (column) bits CLEARED."""
+    if int_exact:
+        s = jnp.clip(scores, -_INT_SCORE_CLIP, _INT_SCORE_CLIP)
+        return jax.lax.shift_left(s, 12)
+    return _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
+
+
+def _dec_val(key, int_exact):
+    """Cosine-range fp32 value of a cleared key; sinks decode to NEG."""
+    if int_exact:
+        v = jax.lax.shift_right_arithmetic(key, 12).astype(jnp.float32)
+        return jnp.where(key == _INT_SINK, NEG, v * _INT8_INV)
+    return _from_sortable(key)
+
+
+def _thr_of_kth(kth_key, int_exact):
+    """Score-space gate threshold from the k-th cleared key. Float path:
+    the TOP of the k-th value's quantization bucket (in-bucket ties lose
+    to the earlier slot, so excluding them is exact). Int path: the exact
+    k-th score itself (equal scores tie and lose to the earlier slot)."""
+    if int_exact:
+        return jax.lax.shift_right_arithmetic(kth_key, 12)
+    return _from_sortable(kth_key | jnp.int32(_IDX_MASK))
+
 
 def _to_sortable(f32):
     bits = jax.lax.bitcast_convert_type(f32, jnp.int32)
@@ -130,7 +174,7 @@ def _packed_extract(keys, k):
 def _packed_kernel(
     nr_ref, q_ref, emb_ref, vals_ref, idx_ref,
     rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
-    *, k, block_t, slots, group, dma_span,
+    *, k, block_t, slots, group, dma_span, int_exact,
 ):
     """Candidate-HARVEST streaming top-k (r2 roofline redesign; r3 adds
     ROW-GROUP processing for large batches).
@@ -180,14 +224,18 @@ def _packed_kernel(
     ngroups = -(-b // group)
     cap = slots + k  # buffer width; [0, k) holds the consolidated top-k
 
+    sink = _INT_SINK if int_exact else _NEG_SINK
+
     @pl.when(i == 0)
     def _():
-        rv[:] = jnp.full_like(rv, _NEG_SINK)
+        rv[:] = jnp.full_like(rv, sink)
         ri[:] = jnp.zeros_like(ri)
-        thr_scr[:] = jnp.full_like(thr_scr, NEG)
+        thr_scr[:] = jnp.full_like(
+            thr_scr, _INT_THR_INIT if int_exact else NEG
+        )
         kbuf[:] = jnp.full_like(kbuf, _INT_MIN)
         gbuf[:] = jnp.zeros_like(gbuf)
-        kbuf[:, :k] = jnp.full((b, k), _NEG_SINK, jnp.int32)
+        kbuf[:, :k] = jnp.full((b, k), sink, jnp.int32)
         for g in range(ngroups):
             sm[g, 0] = k  # next free slot (per group)
             sm[g, 1] = 0  # fallback-extraction done flag (per group)
@@ -200,8 +248,9 @@ def _packed_kernel(
     # chunks so the packed keys' 12 index bits stay sufficient.
     for s in range(dma_span):
         scores_all = _block_scores(
-            q_ref[:], emb_ref[s * block_t : (s + 1) * block_t]
-        )  # [B, BT] fp32
+            q_ref[:], emb_ref[s * block_t : (s + 1) * block_t],
+            raw_int=int_exact,
+        )  # [B, BT] fp32 (or exact int32 on the int8 path)
         row0 = (i * dma_span + s) * block_t
         # Padding is NOT masked here: index padding rows are zero
         # vectors, so only blocks past the num_real boundary can contain
@@ -216,7 +265,7 @@ def _packed_kernel(
             _packed_group_body(
                 g, scores_all, row0, boundary, num_real,
                 rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
-                k=k, cap=cap, group=group, b=b,
+                k=k, cap=cap, group=group, b=b, int_exact=int_exact,
             )
 
     @pl.when(i == nblocks - 1)
@@ -224,13 +273,16 @@ def _packed_kernel(
         for g in range(ngroups):
             lo, gb = g * group, min(group, b - g * group)
             _consolidate_group(
-                lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, k=k, cap=cap
+                lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g,
+                k=k, cap=cap, int_exact=int_exact,
             )
-        vals_ref[:] = _from_sortable(rv[:])
+        vals_ref[:] = _dec_val(rv[:], int_exact)
         idx_ref[:] = ri[:]
 
 
-def _consolidate_group(lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, *, k, cap):
+def _consolidate_group(
+    lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, *, k, cap, int_exact
+):
     """Merge group g's candidate buffer into its running top-k and reset
     its slot counter. `lo`/`gb` are the group's static row offset/size."""
     sl = slice(lo, lo + gb)
@@ -249,12 +301,12 @@ def _consolidate_group(lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, *, k, cap):
     )
     rv[sl] = mv
     ri[sl] = gsel
-    # threshold at the TOP of the k-th value's quantization bucket:
-    # a later score inside the same bucket ties the k-th and loses to
-    # the earlier slot anyway, so excluding it is exact — and it cuts
-    # borderline crossers that would otherwise trigger appends or the
-    # multi-candidate fallback
-    thr_scr[sl] = _from_sortable(mv[:, k - 1 : k] | jnp.int32(_IDX_MASK))
+    # threshold at the TOP of the k-th value's quantization bucket (float
+    # paths) / the exact k-th score (int8 path): a later score tying it
+    # loses to the earlier slot anyway, so excluding it is exact — and it
+    # cuts borderline crossers that would otherwise trigger appends or
+    # the multi-candidate fallback
+    thr_scr[sl] = _thr_of_kth(mv[:, k - 1 : k], int_exact)
     kbuf[sl] = jnp.full((gb, cap), _INT_MIN, jnp.int32)
     kbuf[sl, :k] = mv
     gbuf[sl, :k] = gsel
@@ -264,25 +316,28 @@ def _consolidate_group(lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, *, k, cap):
 def _packed_group_body(
     g, scores_all, row0, boundary, num_real,
     rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
-    *, k, cap, group, b,
+    *, k, cap, group, b, int_exact,
 ):
     """One row-group's harvest for one index block (see _packed_kernel)."""
     lo = g * group
     gb = min(group, b - lo)
     sl = slice(lo, lo + gb)
+    sink = _INT_SINK if int_exact else _NEG_SINK
+    masked = -_INT_SCORE_CLIP if int_exact else NEG
     scores = scores_all[lo : lo + gb]  # [gb, BT]
     # Gate in sortable-int space with low bits cleared — EXACTLY the
     # candidates' quantization, so the gate can never skip a key that the
     # harvest would have kept (equal quantized score → earlier wins).
-    m_f = jnp.max(scores, axis=1, keepdims=True)  # [gb, 1] fp32
-    m_key = _to_sortable(m_f) & ~jnp.int32(_IDX_MASK)
+    m_f = jnp.max(scores, axis=1, keepdims=True)  # [gb, 1]
+    m_key = _enc_key(m_f, int_exact)
 
     @pl.when(jnp.any(m_key > rv[sl, k - 1 : k]))
     def _():
         @pl.when(sm[g, 0] > cap - k)  # room for k more appends
         def _():
             _consolidate_group(
-                lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g, k=k, cap=cap
+                lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g,
+                k=k, cap=cap, int_exact=int_exact,
             )
 
         # ---- O(1)-pass candidate harvest: each score > thr contributes
@@ -318,7 +373,7 @@ def _packed_group_body(
             # warm-up / tie path: full packed extraction, per-row
             # thresholds, one buffer slot per executed pass
             colg = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            key = _to_sortable(scores) & ~jnp.int32(_IDX_MASK)
+            key = _enc_key(scores, int_exact)
             kslice = slice(0, gb)  # scratch is [group, BT]; use gb rows
             keys_scr[kslice] = key | (_IDX_MASK - colg)
 
@@ -329,7 +384,7 @@ def _packed_group_body(
                 keys_scr[kslice] = jnp.where(
                     row0 + colg < num_real,
                     keys_scr[kslice],
-                    _NEG_SINK | (_IDX_MASK - colg),
+                    sink | (_IDX_MASK - colg),
                 )
             sm[g, 1] = 0
             thr = rv[sl, k - 1 : k]
@@ -401,12 +456,10 @@ def _packed_group_body(
                     jnp.where(ismax, colg, 1 << 20), axis=1, keepdims=True
                 )
                 v2 = jnp.max(
-                    jnp.where(ismax, NEG, scores), axis=1, keepdims=True
+                    jnp.where(ismax, masked, scores), axis=1, keepdims=True
                 )
                 val2 = jnp.where(
-                    v2 > thr_scr[sl],
-                    _to_sortable(v2) & ~jnp.int32(_IDX_MASK),
-                    m_key,
+                    v2 > thr_scr[sl], _enc_key(v2, int_exact), m_key
                 )
                 col_a = jnp.where(cnt_row == 2, colmin, col_row)
                 append(
@@ -535,8 +588,9 @@ def fused_score_topk(
     num_real,  # int or traced int32 scalar: rows >= num_real are padding
     block_t: int = 4096,
     interpret: bool = False,
-    variant: str = "packed",  # packed (fast, 11-bit score quantization in
-    #                           the selector) | exact (full-precision keys)
+    variant: str = "packed",  # packed (fast; 11-bit selector keys for
+    #                           float indexes, EXACT integer keys for
+    #                           int8) | exact (full-precision fp32 keys)
     group: Optional[int] = None,  # rows per gated extraction group
     slots: int = 64,  # deferred-merge candidate buffer slots per group
     dma_span: int = 1,  # emb chunks of block_t streamed per grid step —
@@ -549,8 +603,11 @@ def fused_score_topk(
     `emb` may be bfloat16 (halves HBM traffic; scores still accumulate in
     float32 on the MXU) or int8 (quarters it vs float32 — 4x index rows
     per chip; EXACT int32 MXU accumulation rescaled to cosine range, and
-    float queries are 127-scale quantized here automatically). See the
-    packed-variant comment above for the selection-precision trade.
+    float queries are 127-scale quantized here automatically). Selection
+    precision: the int8 packed path is UNCONDITIONALLY exact (integer
+    keys — agrees bit-for-bit with lax.top_k over the dequantized
+    scores); float packed paths select on 11-mantissa-bit keys (see the
+    packed-variant comment for the trade; `variant='exact'` escapes it).
     """
     b, d = q.shape
     t_pad = emb.shape[0]
@@ -571,6 +628,10 @@ def fused_score_topk(
     # drop candidates appended past `cap` (one-hot slot writes miss)
     slots = max(slots, k)
     cap = slots + k
+    # int8 + packed selects on EXACT integer keys (see the r4 note above
+    # _enc_key): zero quantization, bit-identical to lax.top_k over the
+    # dequantized scores. Float operands keep the 11-bit key trade.
+    int_exact = variant == "packed" and emb.dtype == jnp.int8
     kernel = functools.partial(
         _packed_kernel if variant == "packed" else _kernel,
         k=k,
@@ -578,7 +639,9 @@ def fused_score_topk(
         dma_span=dma_span,
     )
     if variant == "packed":
-        kernel = functools.partial(kernel, slots=slots, group=group)
+        kernel = functools.partial(
+            kernel, slots=slots, group=group, int_exact=int_exact
+        )
     if emb.dtype == jnp.int8:
         if q.dtype != jnp.int8:
             q = quantize_queries_int8(q)
@@ -605,7 +668,11 @@ def fused_score_topk(
             [
                 pltpu.VMEM((b, k), jnp.int32),  # rv: running packed keys
                 pltpu.VMEM((b, k), jnp.int32),  # ri: running global rows
-                pltpu.VMEM((b, 1), jnp.float32),  # thr: fp32 running k-th
+                # thr: running k-th in score space (int32 on the int8
+                # exact path, fp32 otherwise)
+                pltpu.VMEM(
+                    (b, 1), jnp.int32 if int_exact else jnp.float32
+                ),
                 # fallback keys: ONE row-group wide (groups run
                 # sequentially, so the scratch is reused — this is what
                 # keeps block_t at 4096 for large B)

@@ -112,9 +112,11 @@ def build_fused_query_fn(
 
     `use_pallas=None` auto-selects: Pallas on TPU backends when a
     VMEM-fitting block size divides the (per-shard) index length.
-    `pallas_variant`: 'packed' (default — selection on 11-mantissa-bit
-    quantized scores, ~1.4x faster; quality-neutral next to the matmul's
-    bf16 operand rounding) or 'exact' (full-precision selection keys).
+    `pallas_variant`: 'packed' (default — ~1.4x faster; selection on
+    11-mantissa-bit quantized scores for float indexes — quality-neutral
+    next to the matmul's bf16 operand rounding — and on EXACT integer
+    keys for int8 indexes, bit-identical to lax.top_k) or 'exact'
+    (full-precision fp32 selection keys).
     """
     sharded = mesh is not None and mesh.shape["model"] > 1
     n_shards = mesh.shape["model"] if sharded else 1

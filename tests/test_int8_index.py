@@ -23,21 +23,27 @@ def _rows(rng, n, d):
 
 
 def _int8_reference(q, emb_i8, k, num_real):
-    """Exact integer scoring reference: int32 accumulation is exact and
-    the fp32 rescale (score < 2^24) is exact, so the packed variant's
-    quantized ordering is fully deterministic — no matmul-precision trap
-    (unlike the float paths, tests/test_ops.py::_bf16r)."""
-    qi = np.clip(np.round(np.asarray(q) * 127.0), -127, 127).astype(np.int32)
-    s = (qi @ np.asarray(emb_i8).astype(np.int32).T).astype(np.float32)
-    s *= 1.0 / (127 * 127)
-    s[:, num_real:] = -np.inf
-    bits = s.view(np.int32)
-    key = bits ^ ((bits >> 31) & np.int32(0x7FFFFFFF))
-    key &= ~np.int32(0xFFF)
+    """EXACT integer scoring reference: int32 accumulation is exact, so
+    ordering is fully deterministic (ties = truly equal integer scores,
+    broken toward the lower index like lax.top_k) — no matmul-precision
+    trap (unlike the float paths, tests/test_ops.py::_bf16r). Since r4
+    the packed kernel selects on unquantized integer keys, so it must
+    match this reference bit-for-bit (no 12-bit clearing here anymore)."""
+    if np.asarray(q).dtype == np.int8:
+        qi = np.asarray(q).astype(np.int32)
+    else:
+        qi = np.clip(np.round(np.asarray(q) * 127.0), -127, 127).astype(
+            np.int32
+        )
+    si = qi @ np.asarray(emb_i8).astype(np.int32).T
+    si[:, num_real:] = np.int32(-(1 << 30))
     idx = np.lexsort(
-        (np.broadcast_to(np.arange(s.shape[1]), s.shape), -key), axis=1
+        (np.broadcast_to(np.arange(si.shape[1]), si.shape), -si), axis=1
     )[:, :k]
-    return np.take_along_axis(s, idx, axis=1), idx
+    vals = np.take_along_axis(si, idx, axis=1).astype(np.float32) * (
+        1.0 / (127 * 127)
+    )
+    return vals, idx
 
 
 def test_quantize_rows_int8():
@@ -64,13 +70,43 @@ def test_fused_topk_int8_interpret(variant):
         )
         evals, eidx = _int8_reference(q, emb, k, num_real)
         if variant == "packed":
+            # r4: integer keys — selection AND values bit-exact
             np.testing.assert_array_equal(np.asarray(idx), eidx)
+            np.testing.assert_array_equal(np.asarray(vals), evals)
         else:
             # exact variant: full-precision keys, same winners, argsort ties
             sv = np.asarray(vals)
             np.testing.assert_allclose(sv, evals, rtol=1e-6)
         # returned values are cosine-range floats
         assert np.abs(np.asarray(vals)).max() <= 1.2
+
+
+def test_fused_topk_int8_near_ties_exact():
+    """Adversarial exactness: integer scores differing by exactly ONE
+    unit at |score| ≈ 15k, where the pre-r4 11-mantissa-bit keys had
+    granularity 8 (ties collapsed, ~0.6% row disagreement vs lax.top_k
+    at 40M rows — the deleted BASELINE.md footnote). The integer-key
+    path must rank every one of them exactly, through consolidations
+    (slots=k forces a merge nearly every block) and the multi-crosser
+    fallback (each block holds many within-old-bucket crossers)."""
+    rng = np.random.default_rng(11)
+    b, d, t, k = 8, 128, 2048, 10
+    q = np.zeros((b, d), np.int8)
+    q[:, 0] = 127
+    q[:, 1] = 1
+    emb = np.zeros((t, d), np.int8)
+    emb[:, 0] = 120  # base score 127*120 = 15240 for every row
+    # distinct ±1-unit perturbations, shuffled so later blocks beat
+    # earlier ones and every block is dense with near-ties
+    perturb = rng.permutation(t) % 127 - 63
+    emb[:, 1] = perturb.astype(np.int8)  # score = 15240 + perturb
+    vals, idx = fused_score_topk(
+        jnp.asarray(q), jnp.asarray(emb), k, t,
+        block_t=256, interpret=True, slots=k,
+    )
+    evals, eidx = _int8_reference(q, emb, k, t)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_array_equal(np.asarray(vals), evals)
 
 
 def test_fused_topk_int8_accepts_prequantized_queries():
