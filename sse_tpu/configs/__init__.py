@@ -65,6 +65,10 @@ class TaskConfig:
     dropout: float = 0.0  # train-time tower dropout; eval/serving inert
     ema_decay: float = 0.0  # >0: Polyak-average params for inference
     steps_per_checkpoint: int = 200
+    # consecutive train steps dispatched as ONE jitted program (lax.scan
+    # over stacked batches) — amortizes per-dispatch host/link latency;
+    # bit-identical step sequence (see TrainConfig.steps_per_dispatch)
+    steps_per_dispatch: int = 8
     max_epochs: int = 20
     seed: int = 0
     # >0: per-checkpoint eval scores against a SAMPLED target subset of
@@ -128,6 +132,7 @@ class TaskConfig:
                 num_hard_negatives=self.num_hard_negatives,
             ),
             steps_per_checkpoint=self.steps_per_checkpoint,
+            steps_per_dispatch=self.steps_per_dispatch,
             max_epochs=self.max_epochs,
             seed=self.seed,
             hard_negative_refresh=self.hard_negative_refresh,

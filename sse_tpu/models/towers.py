@@ -53,7 +53,13 @@ class TowerConfig:
     num_heads: int = 4
     mlp_ratio: int = 4
     max_len: int = 512
-    use_pallas_scan: bool = False  # swap in the Pallas fused-gate kernel
+    # Pallas fused-layer recurrence (sse_tpu/ops/pallas_rnn.py): fwd is
+    # bit-identical to the lax.scan path; training additionally uses the
+    # fused backward kernel (custom VJP — grads within ~1e-2 relative of
+    # XLA autodiff, bf16-operand matmuls). None = auto: ON for TPU
+    # backends when the shape qualifies (pallas_rnn.supported), OFF on
+    # CPU. Explicit True/False overrides.
+    use_pallas_scan: Optional[bool] = None
     # Train-time regularization (reference has none — beyond-reference
     # quality lever, measured on the hard benchmark): inverted dropout on
     # the embedded inputs and on the pooled features, active ONLY when
@@ -406,27 +412,35 @@ def encode_raw(
     if cfg.cell in ("gru", "lstm"):
         from sse_tpu.ops import pallas_rnn  # lazy: optional fast path
 
-        need_states = cfg.readout != "final"
-        if cfg.use_pallas_scan and pallas_rnn.supported(cfg, B) and not need_states:
-            final = pallas_rnn.rnn_encode(params, cfg, emb, valid)
-            states = None
+        use_fused = cfg.use_pallas_scan
+        if use_fused is None:  # auto: Pallas needs a real TPU backend
+            use_fused = jax.devices()[0].platform not in ("cpu",)
+        use_fused = use_fused and pallas_rnn.supported(cfg, B)
+        xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L,B,E]
+        if use_fused:
+            maskT = valid.T[:, None, :]  # [L,1,B] lane-major for tiling
+            run_layer = lambda layer, xs: pallas_rnn.rnn_layer(  # noqa: E731
+                xs, maskT, *_split_weights(layer, cfg.cell), cfg.cell
+            )
         else:
-            xs = emb.transpose(1, 0, 2).astype(_COMPUTE_DTYPE)  # [L,B,E]
             mask = valid.T[:, :, None]  # [L,B,1]
-            final = None
-            for li, layer in enumerate(params["layers"]):
-                ys, fin = _rnn_layer(layer, xs, mask, cfg.cell)
-                if cfg.residual and li > 0:
-                    # identity skip (H == H for l ≥ 1). Carry-freezing makes
-                    # every layer's outputs constant past each row's own
-                    # length, so the stream's LAST timestep is exactly its
-                    # value at the row's length — the residual `final` is
-                    # fin + stream[-1] with no gather.
-                    final = fin + xs[-1].astype(jnp.float32)
-                    xs = xs + ys
-                else:
-                    final, xs = fin, ys
-            states = xs.transpose(1, 0, 2).astype(jnp.float32)  # [B,L,H]
+            run_layer = lambda layer, xs: _rnn_layer(  # noqa: E731
+                layer, xs, mask, cfg.cell
+            )
+        final = None
+        for li, layer in enumerate(params["layers"]):
+            ys, fin = run_layer(layer, xs)
+            if cfg.residual and li > 0:
+                # identity skip (H == H for l ≥ 1). Carry-freezing makes
+                # every layer's outputs constant past each row's own
+                # length, so the stream's LAST timestep is exactly its
+                # value at the row's length — the residual `final` is
+                # fin + stream[-1] with no gather.
+                final = fin + xs[-1].astype(jnp.float32)
+                xs = xs + ys
+            else:
+                final, xs = fin, ys
+        states = xs.transpose(1, 0, 2).astype(jnp.float32)  # [B,L,H]
         if cfg.readout == "final":
             feats = final  # [B,H] fp32 — state at each row's own length
         elif cfg.readout == "mean":

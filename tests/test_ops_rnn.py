@@ -100,3 +100,132 @@ def test_pallas_rnn_matches_scan_residual(cell):
     np.testing.assert_allclose(
         np.asarray(fin_pallas), np.asarray(fin_scan), atol=2e-3, rtol=1e-3
     )
+
+
+# ------------------------------------------------- fused-layer VJP (r4)
+#
+# pallas_rnn.rnn_layer is the TRAINING path: fused x-projection +
+# recurrence forward (bit-identical to towers._rnn_layer) plus a fused
+# reverse-time backward kernel via custom_vjp (grads within ~1e-2 of
+# XLA autodiff of the lax.scan path — bf16-operand gradient matmuls
+# where XLA upcasts to fp32).
+
+
+def _ref_layer(xs, mask, wx, wh, b, cell):
+    """lax.scan reference on [T,B,E] inputs / [T,1,B] mask."""
+    from sse_tpu.models.towers import _COMPUTE_DTYPE, gru_cell, lstm_cell
+
+    T_, B_, _ = xs.shape
+    H = wh.shape[0]
+    wh_c = wh.astype(_COMPUTE_DTYPE)
+    ax = (
+        jnp.dot(
+            xs.reshape(T_ * B_, -1).astype(_COMPUTE_DTYPE),
+            wx.astype(_COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        + b
+    ).reshape(T_, B_, -1)
+    maskB = jnp.swapaxes(mask, 1, 2)  # [T,B,1]
+    z0 = jnp.zeros((B_, H), jnp.float32)
+    if cell == "gru":
+        def step(h, inp):
+            a, m = inp
+            g = a + jnp.dot(
+                h.astype(_COMPUTE_DTYPE), wh_c,
+                preferred_element_type=jnp.float32,
+            )
+            hn = gru_cell(g, h)
+            h = m * hn + (1 - m) * h
+            return h, h.astype(_COMPUTE_DTYPE)
+
+        fin, ys = jax.lax.scan(step, z0, (ax, maskB))
+    else:
+        def step(st, inp):
+            a, m = inp
+            h, c = st
+            g = a + jnp.dot(
+                h.astype(_COMPUTE_DTYPE), wh_c,
+                preferred_element_type=jnp.float32,
+            )
+            hn, cn = lstm_cell(g, h, c)
+            h = m * hn + (1 - m) * h
+            c = m * cn + (1 - m) * c
+            return (h, c), h.astype(_COMPUTE_DTYPE)
+
+        (fin, _), ys = jax.lax.scan(step, (z0, z0), (ax, maskB))
+    return ys, fin
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_rnn_layer_vjp_matches_scan(cell):
+    G = 3 if cell == "gru" else 4
+    T_, B_, H, E = 7, 8, 128, 128
+    rng = np.random.default_rng(1)
+    wx = jnp.asarray(rng.normal(size=(E, G * H)) * 0.05, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(H, G * H)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(G * H,)) * 0.01, jnp.float32)
+    xs = jnp.asarray(rng.normal(size=(T_, B_, E)), jnp.float32)
+    lens = rng.integers(1, T_ + 1, B_)
+    mask = jnp.asarray(
+        (np.arange(T_)[:, None] < lens[None, :]).astype(np.float32)
+    )[:, None, :]  # [T,1,B]
+
+    ys_p, fin_p = pallas_rnn.rnn_layer(xs, mask, wx, wh, b, cell, True)
+    ys_r, fin_r = _ref_layer(xs, mask, wx, wh, b, cell)
+    # forward: bit-identical (same update rule + dtype policy)
+    np.testing.assert_array_equal(np.asarray(ys_p), np.asarray(ys_r))
+    np.testing.assert_array_equal(np.asarray(fin_p), np.asarray(fin_r))
+
+    def loss(layer_fn):
+        def f(xs, wx, wh, b):
+            ys, fin = layer_fn(xs, wx, wh, b)
+            # touch BOTH outputs so dys and dfin paths are exercised
+            return (fin ** 2).sum() + (ys.astype(jnp.float32) ** 3).sum()
+
+        return f
+
+    gp = jax.grad(
+        loss(lambda xs, wx, wh, b: pallas_rnn.rnn_layer(
+            xs, mask, wx, wh, b, cell, True)), (0, 1, 2, 3)
+    )(xs, wx, wh, b)
+    gr = jax.grad(
+        loss(lambda xs, wx, wh, b: _ref_layer(xs, mask, wx, wh, b, cell)),
+        (0, 1, 2, 3),
+    )(xs, wx, wh, b)
+    for name, a, r in zip(("dxs", "dwx", "dwh", "db"), gp, gr):
+        a = np.asarray(a, np.float64)
+        r = np.asarray(r, np.float64)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-6)
+        assert rel < 3e-2, (name, rel)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_rnn_layer_states_feed_readouts(cell):
+    """encode_raw with use_pallas_scan=True + non-final readouts equals
+    the lax.scan path (the r3 kernel couldn't serve mean/attention —
+    VERDICT r3 item 7)."""
+    for readout in ("mean", "attention"):
+        cfg = dataclasses.replace(tower(cell), readout=readout)
+        params = init_tower(jax.random.PRNGKey(2), cfg)
+        rng = np.random.default_rng(3)
+        tokens = jnp.asarray(rng.integers(2, 50, size=(B, L)), jnp.int32)
+        lengths = jnp.asarray(rng.integers(2, L + 1, size=(B,)), jnp.int32)
+        base = encode_raw(params, dataclasses.replace(cfg, use_pallas_scan=False),
+                          tokens, lengths)
+        # interpret-mode Pallas on CPU via monkeypatched default
+        import sse_tpu.ops.pallas_rnn as pr
+        orig = pr.rnn_layer
+
+        def wrapped(xs, mask, wx, wh, b, cell, interpret=False):
+            return orig(xs, mask, wx, wh, b, cell, True)
+
+        pr.rnn_layer = wrapped
+        try:
+            fused = encode_raw(
+                params, dataclasses.replace(cfg, use_pallas_scan=True),
+                tokens, lengths,
+            )
+        finally:
+            pr.rnn_layer = orig
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(fused))

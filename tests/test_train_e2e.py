@@ -511,3 +511,43 @@ def test_multi_label_train_pairs_end_to_end():
     # hard-profile tiny corpus: the bar is beating random (1/16) and the
     # untrained model by a wide margin, not saturation
     assert after["recall@1"] > max(3 * before["recall@1"], 0.2)
+
+
+def test_dispatch_chaining_bit_identical():
+    """steps_per_dispatch=K (lax.scan chained dispatch) runs the EXACT
+    same step sequence as K single dispatches: final params equal, and
+    checkpoint-window boundaries (mid-chain clamping) still fire the
+    eval hook the same number of times (r4 train-throughput lever)."""
+    vocab, tspace, train_pairs, eval_pairs = build_task("ranking")
+    t = tower(vocab.vocab_size)
+    model_cfg = SSEConfig(mode=NetworkMode.SHARED_ENCODER, src_tower=t)
+    records = {1: [], 4: []}
+
+    def run(k):
+        cfg = TrainConfig(
+            batch_size=32,
+            learning_rate=0.05,
+            optimizer="adam",
+            loss=LossConfig(kind="inbatch"),
+            steps_per_checkpoint=5,  # NOT a multiple of the chain width
+            steps_per_dispatch=k,
+            max_epochs=4,
+            seed=7,
+        )
+        state = train(
+            model_cfg, cfg, train_pairs, tspace,
+            log_fn=lambda r: records[k].append(r["step"]),
+        )
+        return state
+
+    s1 = run(1)
+    s4 = run(4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s1.params,
+        s4.params,
+    )
+    assert int(s1.step) == int(s4.step)
+    assert records[1] == records[4]  # same checkpoint-window steps
