@@ -234,9 +234,13 @@ def run_train_bench(
     max_seq_length: int = 50,
     num_negatives: int = 128,
     encoding_dim: int = 128,
+    chain: int = 8,
 ) -> Dict[str, Any]:
     """Training throughput: donated jitted train step (dual-encoder GRU,
-    sampled-softmax negatives) steps/sec and examples/sec."""
+    sampled-softmax negatives) steps/sec and examples/sec. Measures the
+    REAL loop protocol (r4): fused Pallas recurrence (auto on TPU) +
+    `chain`-step dispatch chaining (TrainConfig.steps_per_dispatch);
+    the single-dispatch rate is reported alongside."""
     from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
     from sse_tpu.train import LossConfig, TrainConfig, init_train_state, make_train_step
 
@@ -250,6 +254,7 @@ def run_train_bench(
     cfg = TrainConfig(
         batch_size=batch,
         loss=LossConfig(kind="sampled", num_negatives=num_negatives),
+        steps_per_dispatch=chain,
     )
     state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
     step_fn = make_train_step(model_cfg, cfg, donate=False)
@@ -283,7 +288,38 @@ def run_train_bench(
         )
         return metrics["loss"]
 
-    per_iter, per_iter_mean = _throughput_time(call, variants)
+    single_iter, _ = _throughput_time(call, variants, seconds=5.0)
+
+    if chain > 1:
+        chain_fn = make_train_step(
+            model_cfg, cfg, donate=False,
+            packed_width=max_seq_length, chain=chain,
+        )
+        wcol = jax.lax.bitcast_convert_type(weight, jnp.int32)[:, None]
+        packed_variants = []
+        for i in range(4):
+            rows = []
+            for j in range(chain):
+                src, labels = variants[(i * chain + j) % len(variants)]
+                rows.append(
+                    jnp.concatenate(
+                        [src, lengths[:, None], labels[:, None], wcol],
+                        axis=1,
+                    )
+                )
+            packed_variants.append(jnp.stack(rows))
+        jax.block_until_ready(packed_variants)
+
+        def call_chain(pk):
+            _, metrics = chain_fn(state, pk, tgt_tokens, tgt_lens)
+            return metrics["loss"]
+
+        best_c, mean_c = _throughput_time(
+            call_chain, packed_variants, seconds=8.0
+        )
+        per_iter, per_iter_mean = best_c / chain, mean_c / chain
+    else:
+        per_iter, per_iter_mean = single_iter, single_iter
     # FLOP model of the step (fwd + ~2x bwd), minimum algorithmic work:
     # src tower over batch rows + tgt tower over (batch + num_negatives)
     # sampled rows, 3-gate recurrent cells, plus the [B, B+N] loss matmul.
@@ -303,9 +339,11 @@ def run_train_bench(
         "examples_per_sec": round(batch / per_iter, 1),
         "unit": f"steps/sec, best sustained window (dual-encoder GRU, "
         f"batch={batch}, L={max_seq_length}, {num_negatives} sampled "
-        f"negatives)",
+        f"negatives, fused Pallas recurrence, {chain}-step dispatch "
+        f"chain)",
         "ms_per_step": round(per_iter * 1000, 3),
         "steps_per_sec_stream_mean": round(1.0 / per_iter_mean, 2),
+        "steps_per_sec_single_dispatch": round(1.0 / single_iter, 2),
     }
     out.update(_roofline_fields(per_iter, flops, hbm_bytes=0))
     out.pop("achieved_hbm_gbps", None)  # no meaningful traffic floor here

@@ -1,16 +1,23 @@
-"""Pallas fused RNN scan — the native-tier encoder kernel
+"""Pallas fused RNN kernels — the native-tier encoder kernels
 (SURVEY.md §2.4 item (a): replaces the reference's tf.nn.dynamic_rnn).
 
-Works on the hoisted-recurrence form (see sse_tpu/models/towers.py): the
-x-side gate projection of all timesteps is one big XLA matmul; this kernel
-runs only the sequential part, with W_h and the carry pinned in VMEM for
-the entire sequence — no per-step HBM round trips for weights or state.
-Grid = (L,): Pallas streams each timestep's pre-activation block in and
-(for stacked layers) each hidden state out, double-buffered.
+Two generations:
+
+* `scan_layer`/`rnn_encode` (r3): forward-only scan over PRE-COMPUTED
+  x-side pre-activations (the hoisted form in towers.py), W_h + carry
+  pinned in VMEM. Ties lax.scan — kept for the fwd-only consumers and
+  the multichip dryrun.
+* `rnn_layer` (r4): the TRAINING path — a fused full layer
+  (x-projection + recurrence) with a custom VJP whose backward is a
+  second fused reverse-time kernel. See the design block above
+  `_fwd_core` for the cost model; measured impact in BASELINE.md's r4
+  training roofline (the four XLA scan while-loops were 59% of the
+  train step's device time; 2.6-2.9x steps/s end to end).
 
 Numerics: identical update rule to the lax.scan path (bfloat16 matmul
-operands, float32 accumulation and carry); asserted equal in
-tests/test_ops_rnn.py.
+operands, float32 accumulation and carry); forward asserted EQUAL in
+tests/test_ops_rnn.py, gradients within ~1e-2 relative (bf16-operand
+gradient matmuls where XLA autodiff upcasts to fp32).
 """
 
 from __future__ import annotations
