@@ -102,6 +102,27 @@ def build_problem(mode: str):
     return pairs, tspace, model_cfg, cfg
 
 
+def serve_problem():
+    """Deterministic serving problem, identical on every process AND in
+    the parent's single-process reference run: a dual-encoder model with
+    random-but-seeded params, a 50-row float32 index, 8 queries."""
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
+    from sse_tpu.models.sse import init_params
+
+    rng = np.random.default_rng(7)
+    tw = TowerConfig(vocab_size=40, embed_dim=8, hidden=8, encoding_dim=16)
+    model_cfg = SSEConfig(
+        mode=NetworkMode.DUAL_ENCODER, src_tower=tw, tgt_tower=tw
+    )
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    ids = [f"d{i}" for i in range(50)]
+    texts = [f"doc {i}" for i in range(50)]
+    tokens = rng.integers(2, 40, size=(8, 6)).astype(np.int32)
+    lengths = np.full((8,), 6, np.int32)
+    return emb, ids, texts, model_cfg, params, tokens, lengths
+
+
 def params_sums(params):
     leaves = jax.tree.leaves(params)
     return (
@@ -122,6 +143,43 @@ def main() -> int:
 
     from sse_tpu.parallel.topk import distributed_topk
     from sse_tpu.train import train
+
+    if mode == "serve":
+        # SERVING over a multi-process mesh (VERDICT r3 item 6): the index
+        # rows live sharded across BOTH processes' devices, the fused
+        # query program (encode → per-shard top-k → all_gather merge)
+        # runs over the global mesh, and every process must see the SAME
+        # (vals, rows) — which the parent then checks against a
+        # single-process run of the identical problem.
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+
+        from sse_tpu.index.sharded_index import from_embeddings
+        from sse_tpu.serve.engine import build_fused_query_fn
+
+        mesh_t = make_mesh(data=1, model=2 * nproc)
+        emb, ids, texts, model_cfg, params, tokens, lengths = serve_problem()
+        rep = NamedSharding(mesh_t, P())
+        params = jax.device_put(params, rep)
+        tokens = jax.device_put(jnp.asarray(tokens), rep)
+        lengths = jax.device_put(jnp.asarray(lengths), rep)
+        idx = from_embeddings(emb, ids, texts, mesh=mesh_t)
+        fused = build_fused_query_fn(
+            model_cfg, k=5, num_real=idx.num_real, mesh=mesh_t
+        )
+        vals, rows = fused(params, idx.emb, tokens, lengths)
+        print(
+            "RESULT "
+            + json.dumps(
+                {
+                    "pid": pid,
+                    "vals": np.asarray(vals).tolist(),
+                    "rows": np.asarray(rows).tolist(),
+                }
+            ),
+            flush=True,
+        )
+        return 0
 
     if mode == "indexsave":
         # multi-process npy save: every process writes its own shards,

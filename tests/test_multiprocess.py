@@ -76,6 +76,61 @@ def test_two_process_train_and_topk(mode):
 
 
 @pytest.mark.slow
+def test_two_process_serving_matches_single_process():
+    """The fused serving program (encode → per-shard top-k → all_gather
+    merge) over a REAL 2-process {model:4} mesh: both processes must see
+    identical results, and those must equal a single-process run of the
+    same problem (VERDICT r3 item 6 — multi-process SERVING was the
+    untested combination of §3.3 + §2.3)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), "2", coord, "serve"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=_REPO,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        r = json.loads(line[len("RESULT "):])
+        results[r["pid"]] = r
+
+    r0, r1 = results[0], results[1]
+    assert r0["rows"] == r1["rows"]
+    np.testing.assert_allclose(r0["vals"], r1["vals"], rtol=1e-6)
+
+    # single-process reference over the SAME problem (no mesh)
+    import jax.numpy as jnp
+
+    import _mp_worker as mpw
+    from sse_tpu.serve.engine import build_fused_query_fn
+
+    emb, ids, texts, model_cfg, params, tokens, lengths = mpw.serve_problem()
+    from sse_tpu.index.sharded_index import from_embeddings
+
+    idx = from_embeddings(emb, ids, texts)
+    fused = build_fused_query_fn(model_cfg, k=5, num_real=idx.num_real)
+    vals, rows = fused(
+        params, idx.emb, jnp.asarray(tokens), jnp.asarray(lengths)
+    )
+    assert r0["rows"] == np.asarray(rows).tolist()
+    np.testing.assert_allclose(r0["vals"], np.asarray(vals), rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_two_process_index_save_then_single_process_load(tmp_path):
     """Multi-process npy save (each process writes only ITS shards over a
     4-device {model} mesh; process 0 writes metadata after the barrier)
