@@ -69,6 +69,18 @@ capstone:  ## the 10M-doc full-stack protocol (BASELINE.md r3): gen -> train -> 
 	@$(PY) -m sse_tpu.cli eval --model_dir models-scale --data_dir rawdata-scale --use_index | tail -1
 	@$(PY) -m sse_tpu.cli bench --kind query --model_dir models-scale --batch 256 | tail -1
 
+parity-real:  ## REAL reference data (docs/real_data.md): make parity-real DATA_DIR=path/to/rawdata [TASK=classification]
+	@test -f "$(DATA_DIR)/TrainPairs" || \
+	  { echo "parity-real: $(DATA_DIR)/TrainPairs not found — point DATA_DIR at a directory with TrainPairs/EvalPairs/targetIDs (see docs/real_data.md)"; exit 1; }
+	@test -f "$(DATA_DIR)/targetIDs" || \
+	  { echo "parity-real: $(DATA_DIR)/targetIDs not found"; exit 1; }
+	$(PY) -m sse_tpu.cli train --task_type $(TASK) \
+	  --data_dir $(DATA_DIR) --model_dir $(MODEL_DIR) \
+	  --steps_per_checkpoint 1000
+	$(PY) -m sse_tpu.cli index --model_dir $(MODEL_DIR) --data_dir $(DATA_DIR) \
+	  --export_tsv $(MODEL_DIR)/targetEncodingIndex.tsv
+	$(PY) -m sse_tpu.cli eval --model_dir $(MODEL_DIR) --data_dir $(DATA_DIR) | tail -1
+
 parity-easy:  ## SMOKE TEST ONLY: the r1 easy corpora — every working model saturates at recall 1.000
 	@echo "[smoke] easy corpora saturate at 1.000 — this verifies plumbing, not quality (use 'make parity')"
 	@for task in classification ranking crosslingual qna; do \

@@ -73,7 +73,7 @@ def read_pairs_tsv(path: str) -> List[Tuple[str, List[str]]]:
     rows: List[Tuple[str, List[str]]] = []
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             parts = line.split("\t")
@@ -91,7 +91,7 @@ def read_targets_tsv(path: str) -> List[Tuple[str, str]]:
     rows: List[Tuple[str, str]] = []
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             parts = line.split("\t")
@@ -397,7 +397,7 @@ def encode_pairs_streaming(
 
     with open(tsv_path, "r", encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             parts = line.split("\t")
