@@ -263,15 +263,34 @@ def _sinusoid_table(max_len: int, dim: int) -> np.ndarray:
 
 
 def _transformer_encode(
-    p: Params, cfg: TowerConfig, x: jax.Array, valid: jax.Array
+    p: Params, cfg: TowerConfig, x: jax.Array, valid: jax.Array,
+    cp_axis: Optional[str] = None,
 ) -> jax.Array:
-    """x [B,L,E] fp32 embeddings, valid [B,L] float 0/1 → pooled [B,H]."""
-    B, L, d = x.shape
+    """x [B,L,E] fp32 embeddings, valid [B,L] float 0/1 → states [B,L,H].
+
+    ``cp_axis`` (SURVEY.md §2.2 SP/CP row — the transformer extension
+    point): when set, this body is running INSIDE shard_map with the
+    SEQUENCE dim sharded over that mesh axis. Per-token work (QKV/MLP/
+    layer norms) stays local; only K and V (and the key-side mask)
+    all_gather, so each device attends its local queries against the
+    global keys — gather-based sequence parallelism. Positions offset by
+    the shard index so sinusoids match the unsharded run exactly. Entry
+    point: sse_tpu.parallel.context.encode_context_parallel."""
+    B, L, d = x.shape  # L = LOCAL chunk length under cp_axis
     # scale embeddings by √d (standard transformer input scaling) so the
     # unit-magnitude sinusoids don't drown the 0.05-std token embeddings
-    x = x * math.sqrt(d) + jnp.asarray(_sinusoid_table(cfg.max_len, d))[None, :L]
+    table = jnp.asarray(_sinusoid_table(cfg.max_len, d))
+    if cp_axis is None:
+        table = table[:L]
+        valid_g = valid
+    else:
+        off = jax.lax.axis_index(cp_axis) * L
+        table = jax.lax.dynamic_slice_in_dim(table, off, L)
+        valid_g = jax.lax.all_gather(valid, cp_axis, axis=1, tiled=True)
+    Lg = valid_g.shape[1]
+    x = x * math.sqrt(d) + table[None]
     neg_inf = jnp.finfo(jnp.float32).min
-    attn_bias = jnp.where(valid[:, None, None, :] > 0, 0.0, neg_inf)  # [B,1,1,L]
+    attn_bias = jnp.where(valid_g[:, None, None, :] > 0, 0.0, neg_inf)  # [B,1,1,Lg]
     nh, hd = cfg.num_heads, d // cfg.num_heads
     for blk in p["blocks"]:
         y = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
@@ -284,9 +303,14 @@ def _transformer_encode(
             + blk["qkv_b"]
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if cp_axis is not None:
+            # keys/values go global; queries stay local — the one
+            # communication step of gather-based CP (2 gathers/layer)
+            k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
         q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lg, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lg, nh, hd).transpose(0, 2, 1, 3)
         logits = (
             jnp.einsum(
                 "bhqd,bhkd->bhqk",

@@ -8,6 +8,8 @@ tf.Session, one device, no collectives). This layer is new design surface:
   * ``topk``        — distributed exact top-k merge across index shards
                       (SURVEY.md §2.2 "index/shard parallelism" row — the
                       heart of the north star's query path).
+  * ``context``     — gather-based sequence/context parallelism for the
+                      transformer tower (SURVEY.md §2.2 SP/CP row).
   * multi-host bring-up is `jax.distributed.initialize()` + per-host data
     slicing (sse_tpu.data.batching); collectives are compiled by XLA, never
     hand-written transports.
@@ -20,6 +22,7 @@ from sse_tpu.parallel.mesh import (
     replicated,
     index_sharding,
 )
+from sse_tpu.parallel.context import encode_context_parallel
 
 __all__ = [
     "make_mesh",
@@ -27,4 +30,5 @@ __all__ = [
     "param_shardings",
     "replicated",
     "index_sharding",
+    "encode_context_parallel",
 ]

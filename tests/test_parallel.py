@@ -160,3 +160,47 @@ def test_model_sharded_target_table_full_softmax():
         rtol=3e-3,
         atol=3e-5,
     )
+
+
+# ---------------------------------------------------- context parallelism
+def test_context_parallel_transformer_matches_unsharded():
+    """Gather-based CP attention (SURVEY §2.2 SP/CP row): the transformer
+    tower with tokens SEQUENCE-sharded over 4 devices must reproduce the
+    unsharded encode — positions, masking (incl. rows whose padding
+    spans whole shards), attention over global keys, pooled readout."""
+    from sse_tpu.models.towers import TowerConfig, init_tower, encode_raw
+    from sse_tpu.parallel import encode_context_parallel, make_mesh
+
+    cfg = TowerConfig(
+        vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8,
+        cell="transformer", num_layers=2, num_heads=2, readout="mean",
+        max_len=64,
+    )
+    params = init_tower(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, L = 6, 16  # 4 shards x 4 tokens
+    tokens = jnp.asarray(rng.integers(2, 50, size=(B, L)), jnp.int32)
+    # lengths hit every regime: full, mid-shard cut, < one shard, 1 token
+    lengths = jnp.asarray([16, 11, 8, 3, 1, 13], jnp.int32)
+
+    ref = encode_raw(params, cfg, tokens, lengths)
+    mesh = make_mesh(data=2, model=4)
+    out = encode_context_parallel(
+        params, cfg, tokens, lengths, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6,
+        err_msg="context-parallel encode != unsharded encode",
+    )
+
+    # guard rails: RNN cells and non-poolable readouts refuse CP
+    rcfg = TowerConfig(vocab_size=50, embed_dim=16, hidden=16,
+                       encoding_dim=8, cell="gru")
+    with pytest.raises(ValueError, match="sequential"):
+        encode_context_parallel(params, rcfg, tokens, lengths, mesh)
+    acfg = TowerConfig(
+        vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8,
+        cell="transformer", readout="attention",
+    )
+    with pytest.raises(ValueError, match="mean"):
+        encode_context_parallel(params, acfg, tokens, lengths, mesh)
