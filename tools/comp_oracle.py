@@ -16,7 +16,12 @@ Three scorers, measured on the exact generated eval rows:
     contiguous windows, noise only at the ends). Expected recall@1 =
     E[1/#consistent] — the instrument's true ceiling.
 
-Usage: python tools/comp_oracle.py [ranking|classification|crosslingual|qna]
+Usage: python tools/comp_oracle.py [ranking|classification|crosslingual|qna] [seed]
+
+The optional generator seed (default 0, the shipped demo-data seed)
+exists to measure the INSTRUMENT's own variance: the Bayes ceiling is an
+expectation over one generated corpus, so BASELINE.md's residual-gap
+claims need its seed-to-seed band (VERDICT r3 item 9).
 """
 import os
 import random
@@ -29,7 +34,8 @@ sys.path.insert(
 from sse_tpu.data import synthetic  # noqa: E402
 
 task = sys.argv[1] if len(sys.argv) > 1 else "ranking"
-num_targets, cluster_size, seed = 2048, 8, 0
+num_targets, cluster_size = 2048, 8
+seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 # regenerate the corpus exactly as `demo-data --profile compositional`
 train, ev, target_rows = synthetic.make_compositional_corpus(
@@ -104,7 +110,7 @@ for srctext, labels in ev:
         )
 
 print(
-    f"FINAL {task} (n={n}): word-overlap oracle recall@1 = "
+    f"FINAL {task} seed={seed} (n={n}): word-overlap oracle recall@1 = "
     f"{hits_word/n:.4f}; bigram oracle = {hits_bigram/n:.4f}; "
     f"Bayes ceiling = {bayes_exp/n:.4f}"
 )
