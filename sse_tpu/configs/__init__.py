@@ -47,6 +47,8 @@ class TaskConfig:
     # identity skips between stacked RNN layers — required for
     # num_layers ≥ 3 (a bare 3-layer GRU collapses; BASELINE.md r3)
     residual: bool = False
+    # transformer position encoding: sinusoid | learned (towers.TowerConfig)
+    pos_encoding: str = "sinusoid"
     # training
     batch_size: int = 128
     learning_rate: float = 0.01
@@ -107,6 +109,7 @@ class TaskConfig:
             max_len=max(self.max_seq_length, 512),
             dropout=self.dropout,
             residual=self.residual,
+            pos_encoding=self.pos_encoding,
         )
         mode = NetworkMode(self.network_mode)
         if mode == NetworkMode.SOURCE_ENCODER_ONLY:

@@ -53,6 +53,12 @@ class TowerConfig:
     num_heads: int = 4
     mlp_ratio: int = 4
     max_len: int = 512
+    # transformer position encoding: 'sinusoid' (parameter-free) or
+    # 'learned' (a trained [max_len, d] table, no √d input scaling — the
+    # BERT-style recipe). Added for the r4 compositional-collapse probe:
+    # at L≤16 most sinusoid dims are ~constant across positions, so
+    # local-order signal concentrates in a few high-frequency dims.
+    pos_encoding: str = "sinusoid"
     # Pallas fused-layer recurrence (sse_tpu/ops/pallas_rnn.py): fwd is
     # bit-identical to the lax.scan path; training additionally uses the
     # fused backward kernel (custom VJP — grads within ~1e-2 relative of
@@ -146,6 +152,13 @@ def init_tower(key: jax.Array, cfg: TowerConfig) -> Params:
         p["blocks"] = blocks
         p["ln_f_scale"] = jnp.ones((d,))
         p["ln_f_bias"] = jnp.zeros((d,))
+        if cfg.pos_encoding == "learned":
+            p["pos_embed"] = (
+                jax.random.normal(keys[2 + cfg.num_layers], (cfg.max_len, d))
+                * 0.02
+            )
+        elif cfg.pos_encoding != "sinusoid":
+            raise ValueError(f"unknown pos_encoding {cfg.pos_encoding!r}")
     else:
         raise ValueError(f"unknown cell {cfg.cell!r}")
     return p
@@ -277,9 +290,17 @@ def _transformer_encode(
     the shard index so sinusoids match the unsharded run exactly. Entry
     point: sse_tpu.parallel.context.encode_context_parallel."""
     B, L, d = x.shape  # L = LOCAL chunk length under cp_axis
-    # scale embeddings by √d (standard transformer input scaling) so the
-    # unit-magnitude sinusoids don't drown the 0.05-std token embeddings
-    table = jnp.asarray(_sinusoid_table(cfg.max_len, d))
+    if cfg.pos_encoding == "learned":
+        # BERT-style: trained position table, no input scaling (both
+        # summands are learned, so relative magnitude is absorbed)
+        table, in_scale = p["pos_embed"], 1.0
+    else:
+        # scale embeddings by √d (standard transformer input scaling) so
+        # the unit-magnitude sinusoids don't drown the 0.05-std token
+        # embeddings
+        table, in_scale = jnp.asarray(_sinusoid_table(cfg.max_len, d)), (
+            math.sqrt(d)
+        )
     if cp_axis is None:
         table = table[:L]
         valid_g = valid
@@ -288,7 +309,7 @@ def _transformer_encode(
         table = jax.lax.dynamic_slice_in_dim(table, off, L)
         valid_g = jax.lax.all_gather(valid, cp_axis, axis=1, tiled=True)
     Lg = valid_g.shape[1]
-    x = x * math.sqrt(d) + table[None]
+    x = x * in_scale + table[None]
     neg_inf = jnp.finfo(jnp.float32).min
     attn_bias = jnp.where(valid_g[:, None, None, :] > 0, 0.0, neg_inf)  # [B,1,1,Lg]
     nh, hd = cfg.num_heads, d // cfg.num_heads

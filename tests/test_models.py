@@ -289,3 +289,45 @@ def test_residual_rnn_stack(cell):
         np.asarray(encode_source(params3, c3r_mean, tok1, one)),
         atol=3e-3,
     )
+
+
+def test_transformer_learned_positions():
+    """pos_encoding='learned' (r4 compositional probe): a trained
+    [max_len, d] table replaces the sinusoids, no √d input scaling;
+    params gain pos_embed, encodes differ from the sinusoid tower, and
+    position actually matters (token swap changes the encoding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sse_tpu.models.towers import TowerConfig, init_tower, encode_raw
+
+    base = dict(
+        vocab_size=40, embed_dim=16, hidden=16, encoding_dim=8,
+        cell="transformer", num_layers=2, num_heads=2, readout="mean",
+        max_len=32,
+    )
+    cfg_s = TowerConfig(**base)
+    cfg_l = TowerConfig(**base, pos_encoding="learned")
+    p_l = init_tower(jax.random.PRNGKey(0), cfg_l)
+    assert "pos_embed" in p_l and p_l["pos_embed"].shape == (32, 16)
+    assert "pos_embed" not in init_tower(jax.random.PRNGKey(0), cfg_s)
+
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(2, 40, (3, 8)), jnp.int32
+    )
+    lens = jnp.asarray([8, 5, 2], jnp.int32)
+    out = encode_raw(p_l, cfg_l, toks, lens)
+    assert out.shape == (3, 8)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out, axis=-1)), 1.0, rtol=1e-5
+    )
+    # order sensitivity: swapping two tokens must move the encoding
+    swapped = toks.at[0, 0].set(toks[0, 1]).at[0, 1].set(toks[0, 0])
+    out2 = encode_raw(p_l, cfg_l, swapped, lens)
+    assert float(jnp.abs(out[0] - out2[0]).max()) > 1e-4
+
+    with pytest.raises(ValueError, match="pos_encoding"):
+        init_tower(
+            jax.random.PRNGKey(0),
+            TowerConfig(**base, pos_encoding="rotary"),
+        )

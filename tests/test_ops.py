@@ -337,3 +337,27 @@ def test_fused_topk_dma_span_interpret(dma_span, variant):
         np.testing.assert_allclose(
             np.asarray(vs), np.asarray(v1), rtol=1e-6
         )
+
+
+@pytest.mark.parametrize("group", [4, 8])
+def test_fused_topk_multigroup_interpret(group):
+    """Multi-row-group path with the r4 per-group matmul + shared scores
+    scratch + fori_loop fallback: results must equal the reference at
+    ngroups in {2, 4}, including duplicate rows (deep fallback passes)
+    and a padding boundary (boundary blocks route into the fallback)."""
+    b, d, t = 16, 32, 1024
+    rng = np.random.default_rng(3)
+    qa = np.array(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    qa[7] = qa[3]  # duplicate query rows → identical harvests
+    q = jnp.asarray(qa)
+    ea = np.array(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    ea[500:508] = ea[100:108]  # duplicate index rows → cross-block ties
+    emb = jnp.asarray(ea)
+    num_real = t - 5
+    vals, idx = fused_score_topk(
+        q, emb, 10, num_real, block_t=256, interpret=True,
+        variant="packed", group=group,
+    )
+    evals, eidx = _reference(q, emb, 10, num_real, quantized=True)
+    np.testing.assert_array_equal(np.asarray(idx), eidx)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=2e-2)
