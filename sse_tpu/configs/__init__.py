@@ -48,7 +48,7 @@ class TaskConfig:
     # num_layers ≥ 3 (a bare 3-layer GRU collapses; BASELINE.md r3)
     residual: bool = False
     # transformer position encoding: sinusoid | learned (towers.TowerConfig)
-    pos_encoding: str = "sinusoid"
+    pos_encoding: str = "sinusoid"  # | learned | rope (towers.py)
     # training
     batch_size: int = 128
     learning_rate: float = 0.01

@@ -53,11 +53,13 @@ class TowerConfig:
     num_heads: int = 4
     mlp_ratio: int = 4
     max_len: int = 512
-    # transformer position encoding: 'sinusoid' (parameter-free) or
+    # transformer position encoding: 'sinusoid' (parameter-free),
     # 'learned' (a trained [max_len, d] table, no √d input scaling — the
-    # BERT-style recipe). Added for the r4 compositional-collapse probe:
-    # at L≤16 most sinusoid dims are ~constant across positions, so
-    # local-order signal concentrates in a few high-frequency dims.
+    # BERT-style recipe), or 'rope' (rotary q/k rotation, relative
+    # offsets — arXiv:2104.09864). 'learned' and 'rope' were added for
+    # the r4 compositional-collapse probe: at L≤16 most sinusoid dims
+    # are ~constant across positions, so local-order signal concentrates
+    # in a few high-frequency dims (measured wave in BASELINE.md r4).
     pos_encoding: str = "sinusoid"
     # Pallas fused-layer recurrence (sse_tpu/ops/pallas_rnn.py): fwd is
     # bit-identical to the lax.scan path; training additionally uses the
@@ -157,7 +159,7 @@ def init_tower(key: jax.Array, cfg: TowerConfig) -> Params:
                 jax.random.normal(keys[2 + cfg.num_layers], (cfg.max_len, d))
                 * 0.02
             )
-        elif cfg.pos_encoding != "sinusoid":
+        elif cfg.pos_encoding not in ("sinusoid", "rope"):
             raise ValueError(f"unknown pos_encoding {cfg.pos_encoding!r}")
     else:
         raise ValueError(f"unknown cell {cfg.cell!r}")
@@ -275,6 +277,28 @@ def _sinusoid_table(max_len: int, dim: int) -> np.ndarray:
     return table
 
 
+def _rope_tables(positions: jax.Array, hd: int):
+    """RoPE cos/sin tables for int32 ``positions`` [L] → two [L, hd/2]
+    fp32 arrays (Su et al., arXiv:2104.09864). Standard 10000-base
+    frequencies over PAIRED head dims."""
+    i = jnp.arange(hd // 2, dtype=jnp.float32)
+    inv_freq = jnp.power(10000.0, -2.0 * i / hd)  # [hd/2]
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None]  # [L,hd/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rope_rotate(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate head vectors x [B, nh, L, hd] by per-position angles.
+    Pairs (x[..., :hd/2], x[..., hd/2:]) — the 'rotate-half' layout, an
+    orthogonal change of pair basis that preserves the relative-offset
+    property q·k = f(m - n)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[None, None]  # [1, 1, L, hd/2]
+    s = sin[None, None]
+    return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+
+
 def _transformer_encode(
     p: Params, cfg: TowerConfig, x: jax.Array, valid: jax.Array,
     cp_axis: Optional[str] = None,
@@ -290,7 +314,17 @@ def _transformer_encode(
     the shard index so sinusoids match the unsharded run exactly. Entry
     point: sse_tpu.parallel.context.encode_context_parallel."""
     B, L, d = x.shape  # L = LOCAL chunk length under cp_axis
-    if cfg.pos_encoding == "learned":
+    nh, hd = cfg.num_heads, d // cfg.num_heads
+    rope = cfg.pos_encoding == "rope"
+    if rope:
+        # position enters through q/k rotation only (relative offsets —
+        # the right inductive bias when the signal is local word ORDER,
+        # e.g. the compositional benchmark whose ceiling is the bigram
+        # oracle); nothing is added to the residual stream
+        table, in_scale = jnp.zeros((L, d), jnp.float32), 1.0
+        off = jax.lax.axis_index(cp_axis) * L if cp_axis else 0
+        cos_t, sin_t = _rope_tables(off + jnp.arange(L, dtype=jnp.int32), hd)
+    elif cfg.pos_encoding == "learned":
         # BERT-style: trained position table, no input scaling (both
         # summands are learned, so relative magnitude is absorbed)
         table, in_scale = p["pos_embed"], 1.0
@@ -305,14 +339,15 @@ def _transformer_encode(
         table = table[:L]
         valid_g = valid
     else:
-        off = jax.lax.axis_index(cp_axis) * L
-        table = jax.lax.dynamic_slice_in_dim(table, off, L)
+        if not rope:
+            off = jax.lax.axis_index(cp_axis) * L
+            table = jax.lax.dynamic_slice_in_dim(table, off, L)
         valid_g = jax.lax.all_gather(valid, cp_axis, axis=1, tiled=True)
     Lg = valid_g.shape[1]
-    x = x * in_scale + table[None]
+    if not rope:
+        x = x * in_scale + table[None]
     neg_inf = jnp.finfo(jnp.float32).min
     attn_bias = jnp.where(valid_g[:, None, None, :] > 0, 0.0, neg_inf)  # [B,1,1,Lg]
-    nh, hd = cfg.num_heads, d // cfg.num_heads
     for blk in p["blocks"]:
         y = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
         qkv = (
@@ -332,6 +367,17 @@ def _transformer_encode(
         q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lg, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lg, nh, hd).transpose(0, 2, 1, 3)
+        if rope:
+            # queries rotate by their GLOBAL positions (off+i); gathered
+            # keys span [0, Lg) so they take the full-range table
+            q = _rope_rotate(q, cos_t, sin_t)
+            if cp_axis is not None:
+                cos_g, sin_g = _rope_tables(
+                    jnp.arange(Lg, dtype=jnp.int32), hd
+                )
+            else:
+                cos_g, sin_g = cos_t, sin_t
+            k = _rope_rotate(k, cos_g, sin_g)
         logits = (
             jnp.einsum(
                 "bhqd,bhkd->bhqk",

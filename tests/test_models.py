@@ -331,3 +331,59 @@ def test_transformer_learned_positions():
             jax.random.PRNGKey(0),
             TowerConfig(**base, pos_encoding="rotary"),
         )
+
+
+def test_transformer_rope():
+    """pos_encoding='rope' (r4 compositional probe): rotary q/k rotation
+    (arXiv:2104.09864) — no additive table, no extra params; encodes are
+    order-sensitive, and the rotation preserves the relative-offset
+    property (q·k depends on m−n only, checked directly on the rotate
+    helper)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sse_tpu.models.towers import (
+        TowerConfig, init_tower, encode_raw, _rope_rotate, _rope_tables,
+    )
+
+    base = dict(
+        vocab_size=40, embed_dim=16, hidden=16, encoding_dim=8,
+        cell="transformer", num_layers=2, num_heads=2, readout="mean",
+        max_len=32,
+    )
+    cfg = TowerConfig(**base, pos_encoding="rope")
+    p = init_tower(jax.random.PRNGKey(0), cfg)
+    assert "pos_embed" not in p  # rope adds no parameters
+
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(2, 40, (3, 8)), jnp.int32
+    )
+    lens = jnp.asarray([8, 6, 3], jnp.int32)
+    out = encode_raw(p, cfg, toks, lens)
+    assert out.shape == (3, 8)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out, axis=-1)), 1.0, rtol=1e-5
+    )
+    # order sensitivity: swapping two tokens must move the encoding
+    swapped = toks.at[0, 0].set(toks[0, 1]).at[0, 1].set(toks[0, 0])
+    out2 = encode_raw(p, cfg, swapped, lens)
+    assert float(jnp.abs(out[0] - out2[0]).max()) > 1e-4
+
+    # relative-offset property of the rotation itself: for head vectors
+    # a (at position m) and b (at position n), rotated dot depends only
+    # on m − n
+    hd = 8
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(1, 1, 1, hd)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(1, 1, 1, hd)), jnp.float32)
+
+    def rdot(m, n):
+        cm, sm = _rope_tables(jnp.asarray([m], jnp.int32), hd)
+        cn, sn = _rope_tables(jnp.asarray([n], jnp.int32), hd)
+        ra = _rope_rotate(a, cm, sm)
+        rb = _rope_rotate(b, cn, sn)
+        return float(jnp.sum(ra * rb))
+
+    np.testing.assert_allclose(rdot(3, 1), rdot(9, 7), rtol=1e-5)
+    np.testing.assert_allclose(rdot(5, 5), float(jnp.sum(a * b)), rtol=1e-5)
+    assert abs(rdot(3, 1) - rdot(1, 3)) > 1e-6  # direction-sensitive
