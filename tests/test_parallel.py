@@ -193,6 +193,24 @@ def test_context_parallel_transformer_matches_unsharded():
         err_msg="context-parallel encode != unsharded encode",
     )
 
+    # rope under CP: queries rotate by shard-offset GLOBAL positions and
+    # gathered keys take the full-range table — must still equal the
+    # unsharded rope encode
+    cfg_r = TowerConfig(
+        vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8,
+        cell="transformer", num_layers=2, num_heads=2, readout="mean",
+        max_len=64, pos_encoding="rope",
+    )
+    params_r = init_tower(jax.random.PRNGKey(1), cfg_r)
+    ref_r = encode_raw(params_r, cfg_r, tokens, lengths)
+    out_r = encode_context_parallel(
+        params_r, cfg_r, tokens, lengths, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r), np.asarray(ref_r), rtol=2e-5, atol=2e-6,
+        err_msg="context-parallel ROPE encode != unsharded encode",
+    )
+
     # guard rails: RNN cells and non-poolable readouts refuse CP
     rcfg = TowerConfig(vocab_size=50, embed_dim=16, hidden=16,
                        encoding_dim=8, cell="gru")
