@@ -172,52 +172,53 @@ def _packed_extract(keys, k):
 
 
 def _packed_kernel(
-    nr_ref, q_ref, emb_ref, vals_ref, idx_ref,
+    nr_ref, q_ref, emb_ref, out_ref,
     rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
     *, k, block_t, slots, group, dma_span, int_exact,
 ):
     """Candidate-HARVEST streaming top-k (r2 roofline redesign; r3 adds
-    ROW-GROUP processing for large batches).
+    ROW-GROUP processing; r4 hoists the harvest reductions full-batch
+    and merges the two outputs — the B=4096 single-dispatch redesign).
 
-    Cost analysis drove this shape: the matmul + one row-max is ~1.5 ms
-    at B=256, T=1.25M (bf16), while r1's kernel spent ~4 VPU element-ops
-    per score on sortable-key packing plus a ~70-instruction merge per
-    block — 3-7x the floor. At B=256 per-row threshold GATING cannot skip
-    blocks (some row updates its top-k in almost every block), so the
-    design makes the per-block candidate harvest O(1) full-width passes:
+    Measured structure (r4 probes, v5e, B=4096 / T=1.25M / bt=2048):
+      * the matmul runs at ~105 TFLOP/s when M is the FULL batch
+        (12.5 ms) vs ~41 TFLOP/s at M=512 — large-M amortizes the
+        systolic fill, so the kernel must score the whole batch per
+        block, not ≤512-row chunks;
+      * elementwise reductions FUSE into the matmul's output walk: a
+        compare+select+sum pass costs ~0 next to the dot (measured
+        12.51 → 12.63 ms adding BOTH harvest sums) — but each extra
+        VMEM-materialized [B, BT] pass does not, so the common path
+        must be reduction-only;
+      * a SECOND kernel output forces a per-grid-step block write-back
+        (two [B,k] outputs measured +9.2 ms at B=4096 — more than the
+        harvest itself); vals+rows therefore pack into ONE [B, 2k]
+        int32 output, decoded by the caller.
 
-      * one fp32 row-max (doubles as the skip gate when T/B is large);
-      * one compare+encode+sum pass: every crosser (score > thr)
-        contributes (2^19 + column) to a per-row int32 sum, so ONE
-        reduction yields the candidate COUNT (sum >> 19) and, when the
-        count is 1 (the common case), the exact COLUMN (low bits); the
-        candidate's value is the row max, and it appends straight into
-        a slot buffer — no extraction loop, no merge;
+    Per-block common path (every block, fused with the matmul):
+      * hsum: every crosser (score > thr) contributes (2^19 + column)
+        to a per-row int32 sum — ONE reduction yields the candidate
+        COUNT (sum >> 19) and, when the count is 1 (the common case),
+        the exact COLUMN (low bits);
+      * vsum: the crossers' score sum — for a single crosser this IS
+        its exact score (one nonzero fp32/int32 addend), so the append
+        needs NO row-max pass.
+    Everything else is per row-GROUP of ≤``group`` rows (own slot
+    counter, own fallback scratch) and gated on that group's counts:
       * TWO-crosser rows resolve analytically (exact-max column via a
-        min-reduce, second value via a masked max, fp32 ties handled —
-        see the inline comment); only rows with 3+ crossers (or an
-        int32-wrapped count, or a padding boundary block) take the
-        k-pass packed-extraction fallback;
-      * merges happen only at CONSOLIDATIONS (buffer full / last block):
-        total merge work is O(candidates) ≈ B·k·ln(nblocks), not
-        O(B·nblocks).
+        min-reduce, second value via a masked max — the group row-max
+        is computed only inside this branch);
+      * 3+ crossers / int32-wrapped counts / padding-boundary blocks
+        take the k-pass packed-extraction fallback (masks locally);
+      * merges happen only at CONSOLIDATIONS (buffer full / last
+        block): total merge work is O(candidates) ≈ B·k·ln(nblocks).
 
-    ROW GROUPS (r3, the B=512 cliff fix): the score matmul runs
-    full-batch (MXU wants it), but everything after it — gate, harvest,
-    fallback, slot buffers — runs per group of ≤``group`` rows with its
-    OWN slot counter and fallback scratch. Two wins: (a) the fallback
-    key scratch and harvest temporaries are [group, BT] not [B, BT], so
-    block_t stays at 4096 for large B instead of shrinking (the r2 VMEM
-    model shrank block_t 4096→1024 at B=512, quadrupling per-block DMA
-    issue cost on a DMA-issue-bound kernel — the measured 30% per-query
-    regression); (b) "any row opens every block" coupling is per-group,
-    so gating/slot burn scale with the group, not the batch.
-
-    Tie semantics stay lax.top_k-like on the 11-bit-quantized scores:
-    slot order IS (block, col) order, consolidation re-packs slot ids
-    into the low key bits, and consolidated survivors occupy slots
-    [0, k) — equal quantized scores always resolve to the earliest
-    block / lowest column, exactly like a sequential per-block merge."""
+    Tie semantics stay lax.top_k-like on the 11-bit-quantized scores
+    (EXACT integer keys on the int8 path): slot order IS (block, col)
+    order, consolidation re-packs slot ids into the low key bits, and
+    consolidated survivors occupy slots [0, k) — equal quantized scores
+    always resolve to the earliest block / lowest column, exactly like
+    a sequential per-block merge."""
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     b = rv.shape[0]
@@ -242,8 +243,7 @@ def _packed_kernel(
 
     num_real = nr_ref[0]
     # DMA SPAN (r3): the emb block streamed per grid step is
-    # [block_t * dma_span, D] — per-transfer issue cost (what binds this
-    # kernel; measured pure-load ~200 GB/s vs the 819 GB/s spec) is paid
+    # [block_t * dma_span, D] — per-transfer issue cost is paid
     # dma_span× less often. The harvest still walks block_t-column
     # chunks so the packed keys' 12 index bits stay sufficient.
     for s in range(dma_span):
@@ -255,15 +255,34 @@ def _packed_kernel(
         # Padding is NOT masked here: index padding rows are zero
         # vectors, so only blocks past the num_real boundary can contain
         # them, and those blocks are forced into the fallback path
-        # below, which masks locally. (A branchless mask pass costs
-        # ~0.4 ms/batch at B=256, T=1.25M, and a lax.cond around it
-        # costs ~2.5 ms — Mosaic emits a copy of the [B, BT] scores for
-        # the identity arm on every block.)
+        # below, which masks locally. (Padding can only ADD crossers,
+        # so the count gate below never skips a real candidate.)
         boundary = row0 + block_t > num_real
+
+        # ---- full-batch fused harvest reductions (the ONLY per-score
+        # work in the common path; measured free next to the matmul)
+        thr = thr_scr[:]
+        cross = scores_all > thr
+        _SHIFT = 19
+        colp = (1 << _SHIFT) + jax.lax.broadcasted_iota(
+            jnp.int32, scores_all.shape, 1
+        )
+        hsum = jnp.sum(
+            jnp.where(cross, colp, 0), axis=1, keepdims=True
+        )  # [B, 1]: count<<19 | column-sum
+        zero = (
+            jnp.int32(0) if int_exact else jnp.float32(0.0)
+        )
+        vsum = jnp.sum(
+            jnp.where(cross, scores_all, zero), axis=1, keepdims=True
+        )  # [B, 1]: exact crosser value when the count is 1
+        cnt_all = jax.lax.shift_right_arithmetic(hsum, _SHIFT)
+        col_all = hsum & ((1 << _SHIFT) - 1)
 
         for g in range(ngroups):
             _packed_group_body(
-                g, scores_all, row0, boundary, num_real,
+                g, scores_all, cnt_all, col_all, vsum,
+                row0, boundary, num_real,
                 rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
                 k=k, cap=cap, group=group, b=b, int_exact=int_exact,
             )
@@ -276,8 +295,10 @@ def _packed_kernel(
                 lo, gb, rv, ri, thr_scr, kbuf, gbuf, sm, g,
                 k=k, cap=cap, int_exact=int_exact,
             )
-        vals_ref[:] = _dec_val(rv[:], int_exact)
-        idx_ref[:] = ri[:]
+        # ONE output: [:, :k] packed value keys, [:, k:] global rows
+        # (a second output block measured +9.2 ms/batch at B=4096)
+        out_ref[:, :k] = rv[:]
+        out_ref[:, k:] = ri[:]
 
 
 def _consolidate_group(
@@ -314,24 +335,31 @@ def _consolidate_group(
 
 
 def _packed_group_body(
-    g, scores_all, row0, boundary, num_real,
+    g, scores_all, cnt_all, col_all, vsum, row0, boundary, num_real,
     rv, ri, thr_scr, keys_scr, kbuf, gbuf, sm,
     *, k, cap, group, b, int_exact,
 ):
-    """One row-group's harvest for one index block (see _packed_kernel)."""
+    """One row-group's candidate bookkeeping for one index block (see
+    _packed_kernel). The per-score reductions (cnt/col/value sums) are
+    computed ONCE full-batch by the caller, fused with the matmul; this
+    body only reads their [gb, 1] slices in the common path — [gb, BT]
+    passes happen solely inside the rare pair/fallback branches."""
     lo = g * group
     gb = min(group, b - lo)
     sl = slice(lo, lo + gb)
     sink = _INT_SINK if int_exact else _NEG_SINK
     masked = -_INT_SCORE_CLIP if int_exact else NEG
-    scores = scores_all[lo : lo + gb]  # [gb, BT]
-    # Gate in sortable-int space with low bits cleared — EXACTLY the
-    # candidates' quantization, so the gate can never skip a key that the
-    # harvest would have kept (equal quantized score → earlier wins).
-    m_f = jnp.max(scores, axis=1, keepdims=True)  # [gb, 1]
-    m_key = _enc_key(m_f, int_exact)
+    cnt_row = cnt_all[sl]  # [gb, 1]
+    col_row = col_all[sl]
 
-    @pl.when(jnp.any(m_key > rv[sl, k - 1 : k]))
+    # Gate on the crosser count: thr is the TOP of the k-th key's
+    # quantization bucket (float) / the exact k-th score (int8), so a
+    # score crossing it is exactly a score whose key beats the k-th key
+    # — the gate can never skip a candidate the harvest would keep.
+    # int32-overflow note: worst case all columns qualify → hsum wraps
+    # NEGATIVE; the count can never alias to 0, so the gate still opens
+    # and the fallback below handles it.
+    @pl.when(jnp.any(cnt_row != 0))
     def _():
         @pl.when(sm[g, 0] > cap - k)  # room for k more appends
         def _():
@@ -340,26 +368,6 @@ def _packed_group_body(
                 k=k, cap=cap, int_exact=int_exact,
             )
 
-        # ---- O(1)-pass candidate harvest: each score > thr contributes
-        # (2^19 + column) to a per-row int sum, so ONE reduction yields
-        # BOTH the candidate count (sum >> 19) and, when the count is 1,
-        # the exact column (sum & (2^19-1)). int32-overflow note: worst
-        # case all 4096 columns qualify → the sum wraps NEGATIVE; the
-        # arithmetic shift then yields a negative "count", routed to the
-        # fallback like any count ≥ 2 — it can never alias to 0 or 1.
-        # (An MXU formulation — 0/1 mask × [ones, col] — measured the
-        # same speed and loses integer exactness to fp32 rounding.)
-        _SHIFT = 19
-        colp = (1 << _SHIFT) + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1
-        )
-        harvest = jnp.sum(
-            jnp.where(scores > thr_scr[sl], colp, 0),
-            axis=1,
-            keepdims=True,
-        )  # [gb, 1]
-        cnt_row = jax.lax.shift_right_arithmetic(harvest, _SHIFT)
-        col_row = harvest & ((1 << _SHIFT) - 1)
         # rows with exactly TWO crossers are resolved analytically below
         # (second-max + col algebra); only 3+ crossers (or the int32
         # wrap, or a padding boundary) need the k-pass fallback
@@ -372,6 +380,7 @@ def _packed_group_body(
         def _():
             # warm-up / tie path: full packed extraction, per-row
             # thresholds, one buffer slot per executed pass
+            scores = scores_all[lo : lo + gb]  # [gb, BT] — branch-only
             colg = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             key = _enc_key(scores, int_exact)
             kslice = slice(0, gb)  # scratch is [group, BT]; use gb rows
@@ -448,6 +457,11 @@ def _packed_group_body(
                 # second max fell to ≤ thr, BOTH crossers were fp32-equal
                 # to the row max (tie) and both append with its key —
                 # lower column first, preserving the packed tie order.
+                # The group row-max is computed HERE only — the common
+                # path gets single-crosser values from the fused vsum.
+                scores = scores_all[lo : lo + gb]  # [gb, BT]
+                m_f = jnp.max(scores, axis=1, keepdims=True)
+                m_key = _enc_key(m_f, int_exact)
                 ismax = scores == m_f
                 colg = jax.lax.broadcasted_iota(
                     jnp.int32, scores.shape, 1
@@ -475,16 +489,21 @@ def _packed_group_body(
             def _():
                 @pl.when(jnp.any(cnt_row == 1))
                 def _():
-                    # at most one crosser per row — its value is the row
-                    # max, its column is the harvest sum itself
+                    # at most one crosser per row — its exact value is
+                    # the fused value-sum (one nonzero addend), its
+                    # column the harvest sum itself: NO [gb, BT] pass
                     append(
-                        jnp.where(cnt_row == 1, m_key, _INT_MIN),
+                        jnp.where(
+                            cnt_row == 1,
+                            _enc_key(vsum[sl], int_exact),
+                            _INT_MIN,
+                        ),
                         row0 + col_row,
                     )
 
 
 def _kernel(
-    nr_ref, q_ref, emb_ref, vals_ref, idx_ref, rv, ri,
+    nr_ref, q_ref, emb_ref, out_ref, rv, ri,
     *, k, block_t, dma_span,
 ):
     i = pl.program_id(0)
@@ -520,8 +539,10 @@ def _kernel(
 
     @pl.when(i == nblocks - 1)
     def _():
-        vals_ref[:] = rv[:]
-        idx_ref[:] = ri[:]
+        # single packed output (see _packed_kernel): fp32 values are
+        # stored bit-cast so both halves share one int32 block
+        out_ref[:, :k] = jax.lax.bitcast_convert_type(rv[:], jnp.int32)
+        out_ref[:, k:] = ri[:]
 
 
 DEFAULT_GROUP = 256  # harvest row-group size (see _packed_kernel)
@@ -660,10 +681,11 @@ def fused_score_topk(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        # ONE output block: a second constant-index output forces a
+        # per-grid-step write-back (measured +9.2 ms/batch at B=4096)
+        out_specs=pl.BlockSpec(
+            (b, 2 * k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=(
             [
                 pltpu.VMEM((b, k), jnp.int32),  # rv: running packed keys
@@ -689,13 +711,10 @@ def fused_score_topk(
             ]
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, 2 * k), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * t_pad,
             bytes_accessed=t_pad * d * emb.dtype.itemsize + b * d * 4,
@@ -706,8 +725,14 @@ def fused_score_topk(
         # (rare-path) fallback key scratch; v5e/v5p have 128 MiB of
         # physical VMEM, so lift the conservative 16 MiB default rather
         # than shrink block_t (smaller blocks cost real throughput).
+        # 100 MiB admits the full-batch B=4096 scores tile (33.5 MiB) —
+        # the single-dispatch headline shape (r4).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(nr, q, emb)
+    keys, rows = out[:, :k], out[:, k:]
+    if variant == "packed":
+        return _dec_val(keys, int_exact), rows
+    return jax.lax.bitcast_convert_type(keys, jnp.float32), rows
