@@ -55,7 +55,9 @@ def _build_cfg(args) -> "TaskConfig":
         if f.name != "task_type"
         and getattr(args, f.name, None) is not None
     }
-    return preset(args.task_type, **overrides)
+    return preset(
+        args.task_type, recipe=getattr(args, "recipe", None), **overrides
+    )
 
 
 def cmd_demo_data(args) -> int:
@@ -412,6 +414,16 @@ def main(argv=None) -> int:
         "--task_type",
         default=None,
         choices=["classification", "ranking", "crosslingual", "qna"],
+    )
+    p.add_argument(
+        "--recipe",
+        default=None,
+        choices=["compositional", "transformer"],
+        help="named measured-config bundle applied on top of the task "
+        "preset (configs.RECIPES; explicit flags still win): "
+        "'compositional' = 3-layer residual LSTM lr 3e-3 dropout 0.1 "
+        "(95-96%% of the Bayes ceiling on all four compositional "
+        "tasks), 'transformer' = 4-layer RoPE lr 1e-3 (BASELINE.md)",
     )
     _add_task_overrides(p)
     _add_dist_flags(p)

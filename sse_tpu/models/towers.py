@@ -53,14 +53,16 @@ class TowerConfig:
     num_heads: int = 4
     mlp_ratio: int = 4
     max_len: int = 512
-    # transformer position encoding: 'sinusoid' (parameter-free),
+    # transformer position encoding: 'rope' (rotary q/k rotation,
+    # relative offsets — arXiv:2104.09864; the DEFAULT since r5),
     # 'learned' (a trained [max_len, d] table, no √d input scaling — the
-    # BERT-style recipe), or 'rope' (rotary q/k rotation, relative
-    # offsets — arXiv:2104.09864). 'learned' and 'rope' were added for
-    # the r4 compositional-collapse probe: at L≤16 most sinusoid dims
-    # are ~constant across positions, so local-order signal concentrates
-    # in a few high-frequency dims (measured wave in BASELINE.md r4).
-    pos_encoding: str = "sinusoid"
+    # BERT-style recipe), or 'sinusoid' (parameter-free). The r4
+    # compositional-collapse probe measured sinusoid strictly worst at
+    # every tested shape (at L≤16 most sinusoid dims are ~constant
+    # across positions and the √d input scaling drowns the 0.05-std
+    # embeddings) and RoPE best (0.8198 vs 0.3157 — BASELINE.md r4),
+    # so the default follows the measurement.
+    pos_encoding: str = "rope"
     # Pallas fused-layer recurrence (sse_tpu/ops/pallas_rnn.py): fwd is
     # bit-identical to the lax.scan path; training additionally uses the
     # fused backward kernel (custom VJP — grads within ~1e-2 relative of

@@ -306,7 +306,7 @@ def test_transformer_learned_positions():
         cell="transformer", num_layers=2, num_heads=2, readout="mean",
         max_len=32,
     )
-    cfg_s = TowerConfig(**base)
+    cfg_s = TowerConfig(**base, pos_encoding="sinusoid")
     cfg_l = TowerConfig(**base, pos_encoding="learned")
     p_l = init_tower(jax.random.PRNGKey(0), cfg_l)
     assert "pos_embed" in p_l and p_l["pos_embed"].shape == (32, 16)
