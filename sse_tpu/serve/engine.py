@@ -117,9 +117,20 @@ def build_fused_query_fn(
     next to the matmul's bf16 operand rounding — and on EXACT integer
     keys for int8 indexes, bit-identical to lax.top_k) or 'exact'
     (full-precision fp32 selection keys).
+
+    2D meshes (the north-star 8-chip serving topology, e.g.
+    {data: 2, model: 4}): queries are sharded over 'data' (each data
+    replica serves its slice of the batch) while index rows stay over
+    'model' — the cross-shard candidate merge all_gathers only within
+    each data replica's model group. The call-time batch must divide
+    the 'data' axis size. Asserted equal to the single-device program
+    in tests/test_parallel.py and the driver dryrun.
     """
-    sharded = mesh is not None and mesh.shape["model"] > 1
-    n_shards = mesh.shape["model"] if sharded else 1
+    axes = dict(mesh.shape) if mesh is not None else {}
+    tp = axes.get("model", 1) > 1
+    dp = axes.get("data", 1) > 1
+    sharded = tp or dp
+    n_shards = axes.get("model", 1) if sharded else 1
 
     def resolve_backend(t_pad_local, b):
         bt, grp = pick_kernel_config(
@@ -160,11 +171,17 @@ def build_fused_query_fn(
         )
 
     if sharded:
-        axis = "model"
+        axis = "model" if tp else None
+        # queries ride 'data' (each replica serves its batch slice); the
+        # index rides 'model' (replicated across 'data' by the spec)
+        qspec = P("data") if dp else P()
+        espec = P("model", None) if tp else P()
 
         def body(params, emb_block, tokens, lengths, nr):
             q = sse.encode_source(params, model_cfg, tokens, lengths)
             vals, gidx = chunked_topk(q, emb_block, nr, axis)
+            if not tp:
+                return vals, gidx
             all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
             all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
             mvals, mpos = jax.lax.top_k(all_vals, k)
@@ -175,8 +192,8 @@ def build_fused_query_fn(
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(P(), P("model", None), P(), P(), P()),
-                out_specs=(P(), P()),
+                in_specs=(P(), espec, qspec, qspec, P()),
+                out_specs=(qspec, qspec),
                 check_vma=False,  # outputs identical post-all_gather
             )
         )

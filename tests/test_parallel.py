@@ -222,3 +222,76 @@ def test_context_parallel_transformer_matches_unsharded():
     )
     with pytest.raises(ValueError, match="mean"):
         encode_context_parallel(params, acfg, tokens, lengths, mesh)
+
+
+def test_2d_mesh_fused_query_matches_single_device():
+    """r4 verdict item 5: the north-star 8-chip serving topology — query
+    DP over 'data' × index TP over 'model' in ONE fused program
+    ({data:2, model:4}), rows/values == the single-device program."""
+    from sse_tpu.index.sharded_index import from_embeddings
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params
+    from sse_tpu.serve.engine import build_fused_query_fn
+
+    mesh = make_mesh(data=2, model=4)
+    cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=TowerConfig(
+            vocab_size=64, embed_dim=16, hidden=16, num_layers=1,
+            encoding_dim=16,
+        ),
+    )
+    from sse_tpu.models import sse as _sse
+
+    params = _sse.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(37, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"t{i}" for i in range(37)]
+    sidx = from_embeddings(emb, ids, ids, mesh=mesh)
+    fused = build_fused_query_fn(cfg, k=5, num_real=sidx.num_real, mesh=mesh)
+    qtok = jnp.asarray(rng.integers(2, 64, size=(8, 10)), jnp.int32)
+    qlen = jnp.asarray(rng.integers(3, 11, size=(8,)), jnp.int32)
+    vals, rows = fused(params, sidx.emb, qtok, qlen)
+
+    ref_idx = from_embeddings(emb, ids, ids, mesh=None)
+    ref = build_fused_query_fn(cfg, k=5, num_real=ref_idx.num_real, mesh=None)
+    rv, rr = ref(params, ref_idx.emb, qtok, qlen)
+    assert (np.asarray(rows) == np.asarray(rr)).all()
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(rv), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_data_only_mesh_fused_query():
+    """Query-DP serving with a replicated index ({data:8, model:1}):
+    each replica serves its batch slice; == single-device."""
+    from sse_tpu.index.sharded_index import from_embeddings
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig
+    from sse_tpu.models import sse as _sse
+    from sse_tpu.serve.engine import build_fused_query_fn
+
+    mesh = make_mesh(data=8, model=1)
+    cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=TowerConfig(
+            vocab_size=64, embed_dim=16, hidden=16, num_layers=1,
+            encoding_dim=16,
+        ),
+    )
+    params = _sse.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(21, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"t{i}" for i in range(21)]
+    sidx = from_embeddings(emb, ids, ids, mesh=mesh)
+    fused = build_fused_query_fn(cfg, k=3, num_real=sidx.num_real, mesh=mesh)
+    qtok = jnp.asarray(rng.integers(2, 64, size=(16, 6)), jnp.int32)
+    qlen = jnp.full((16,), 6, jnp.int32)
+    vals, rows = fused(params, sidx.emb, qtok, qlen)
+    ref_idx = from_embeddings(emb, ids, ids, mesh=None)
+    ref = build_fused_query_fn(cfg, k=3, num_real=ref_idx.num_real, mesh=None)
+    rv, rr = ref(params, ref_idx.emb, qtok, qlen)
+    assert (np.asarray(rows) == np.asarray(rr)).all()
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(rv), rtol=2e-4, atol=2e-5
+    )
