@@ -168,7 +168,7 @@ def cmd_index(args) -> int:
     phases: dict = {}
     index = ws.build_index(
         args.data_dir, export_tsv=args.export_tsv, capacity=args.capacity,
-        phase_times=phases,
+        phase_times=phases, cp_shards=args.cp_shards,
     )
     dt = time.perf_counter() - t0
     breakdown = " ".join(f"{k}={v:.1f}s" for k, v in phases.items())
@@ -447,6 +447,13 @@ def main(argv=None) -> int:
         choices=["float32", "bfloat16", "int8"],
         help="override the trained config's index precision for THIS "
         "build (e.g. int8 = 4x rows/chip) without retraining",
+    )
+    p.add_argument(
+        "--cp_shards", type=int, default=0,
+        help="encode each target document with CONTEXT PARALLELISM over "
+        "this many devices (transformer towers, mean readout): shards "
+        "the sequence dim over a dedicated {'seq'} mesh so documents "
+        "longer than one chip's attention budget still index",
     )
     p.set_defaults(fn=cmd_index)
 

@@ -564,6 +564,7 @@ def build_index(
     dtype=jnp.float32,
     capacity: Optional[int] = None,  # reserve rows for live add()
     chunk_batches: int = 64,
+    cp_shards: int = 0,
 ) -> ShardedIndex:
     """Encode the full target space into a sharded index (the reference's
     sse_index.py stack, SURVEY.md §3.2).
@@ -576,6 +577,16 @@ def build_index(
     every 512-doc batch through the host, which over a high-latency link
     ran at ~1.8k docs/sec against a ~350k docs/sec device encode — a
     190× host-loop tax this removes (BASELINE.md has both numbers).
+
+    ``cp_shards`` > 1 encodes each target document with CONTEXT
+    PARALLELISM (sse_tpu.parallel.context — transformer towers, mean
+    readout): the sequence dim is sharded over a dedicated {'seq':
+    cp_shards} mesh, so documents longer than one chip's attention
+    budget still encode; the encoded rows are then written onto the
+    'model'-sharded index buffer by a SEPARATE program (the axis
+    contract in context.py — CP never claims the index's 'model' axis).
+    Long-document index builds are where CP pays; 50-token queries at
+    serve time never need it.
 
     Rows in [num_targets, t_pad) are ZERO vectors (matching
     from_embeddings): scoring masks by the runtime ``num_real`` operand
@@ -599,6 +610,39 @@ def build_index(
     d = model_cfg.encoding_dim
     shards = _shard_count(mesh)
     t_pad = _padded_rows(t, capacity, shards)
+
+    cp_enc = None
+    if cp_shards > 1:
+        # CP branch: the target tower encodes on a DEDICATED {'seq'}
+        # mesh (context.py axis contract — never the index's 'model'
+        # axis). Tower params ride host copies taken BEFORE the
+        # index-mesh device_put below, so the two programs never mix
+        # committed device sets; the encoded [chunk, D] rows (tiny next
+        # to the long-doc encode) hop through the host into write_chunk.
+        from sse_tpu.parallel.context import cp_mesh, make_cp_encoder
+
+        if model_cfg.mode == NetworkMode.DUAL_ENCODER:
+            cp_cfg, cp_params = model_cfg.tgt_tower, params["tgt_tower"]
+        else:  # SHARED_ENCODER (SOURCE_ENCODER_ONLY returned above)
+            cp_cfg, cp_params = model_cfg.src_tower, params["src_tower"]
+        cp_enc = make_cp_encoder(cp_cfg, cp_mesh(cp_shards))
+        cp_params = jax.device_get(cp_params)
+        l_cp = -(-l // cp_shards) * cp_shards  # token width per program
+
+        def encode_chunk_cp(toks3, lens2):  # np [S,B,L], [S,B] → [S*B, D]
+            if l_cp > l:
+                toks3 = np.pad(toks3, ((0, 0), (0, 0), (0, l_cp - l)))
+            outs = [
+                np.asarray(
+                    cp_enc(
+                        cp_params,
+                        jnp.asarray(toks3[i]),
+                        jnp.asarray(lens2[i]),
+                    )
+                )
+                for i in range(toks3.shape[0])
+            ]
+            return quantize_rows(jnp.asarray(np.concatenate(outs)), dtype)
 
     sharding = (
         NamedSharding(mesh, P("model", None)) if mesh is not None else None
@@ -644,11 +688,16 @@ def build_index(
             pad = chunk_docs - tb.shape[0]
             tb = np.concatenate([tb, np.zeros((pad, l), tb.dtype)])
             lb = np.concatenate([lb, np.ones((pad,), lb.dtype)])
-        chunk = encode_chunk(
-            params,
-            jnp.asarray(tb.reshape(s, eff_bs, l)),
-            jnp.asarray(lb.reshape(s, eff_bs)),
-        )
+        if cp_enc is not None:
+            chunk = encode_chunk_cp(
+                tb.reshape(s, eff_bs, l), lb.reshape(s, eff_bs)
+            )
+        else:
+            chunk = encode_chunk(
+                params,
+                jnp.asarray(tb.reshape(s, eff_bs, l)),
+                jnp.asarray(lb.reshape(s, eff_bs)),
+            )
         take = min(chunk_docs, t_pad - lo)
         if take < chunk_docs:  # never write past the padded buffer
             chunk = chunk[:take]

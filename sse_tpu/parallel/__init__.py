@@ -22,7 +22,11 @@ from sse_tpu.parallel.mesh import (
     replicated,
     index_sharding,
 )
-from sse_tpu.parallel.context import encode_context_parallel
+from sse_tpu.parallel.context import (
+    cp_mesh,
+    encode_context_parallel,
+    make_cp_encoder,
+)
 
 __all__ = [
     "make_mesh",
@@ -30,5 +34,7 @@ __all__ = [
     "param_shardings",
     "replicated",
     "index_sharding",
+    "cp_mesh",
     "encode_context_parallel",
+    "make_cp_encoder",
 ]

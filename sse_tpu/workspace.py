@@ -286,6 +286,7 @@ class Workspace:
         export_tsv: Optional[str] = None,
         capacity: Optional[int] = None,
         phase_times: Optional[Dict[str, float]] = None,
+        cp_shards: int = 0,
     ) -> ShardedIndex:
         """Build + persist the sharded index. ``phase_times`` (if passed)
         receives a wall-clock breakdown — at 10M docs the non-encode
@@ -312,6 +313,7 @@ class Workspace:
                 self.cfg.index_dtype, _jnp.float32
             ),
             capacity=capacity,
+            cp_shards=cp_shards,
         )
         jax.block_until_ready(index.emb)
         t3 = t()

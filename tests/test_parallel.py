@@ -224,6 +224,103 @@ def test_context_parallel_transformer_matches_unsharded():
         encode_context_parallel(params, acfg, tokens, lengths, mesh)
 
 
+def test_context_parallel_grads_match():
+    """shard_map transposes the CP gathers/psums, so gradients flow
+    through the sequence-sharded encode — pinned here so the
+    inference-first scope note in context.py is a design choice, not a
+    correctness gap: d(loss)/d(params) through the CP encoder must equal
+    the unsharded tower's gradients."""
+    from sse_tpu.models.towers import TowerConfig, encode_raw, init_tower
+    from sse_tpu.parallel import cp_mesh, make_cp_encoder
+
+    cfg = TowerConfig(
+        vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8,
+        cell="transformer", num_layers=2, num_heads=2, readout="mean",
+        max_len=64, pos_encoding="rope",
+    )
+    params = init_tower(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    B, L = 4, 16
+    tokens = jnp.asarray(rng.integers(2, 50, size=(B, L)), jnp.int32)
+    lengths = jnp.asarray([16, 9, 3, 12], jnp.int32)
+    v = jnp.asarray(rng.normal(size=(B, 8)).astype(np.float32))
+
+    enc = make_cp_encoder(cfg, cp_mesh(4))
+    g_cp = jax.grad(lambda p: jnp.sum(enc(p, tokens, lengths) * v))(params)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(encode_raw(p, cfg, tokens, lengths) * v)
+    )(params)
+    flat_cp, _ = jax.tree_util.tree_flatten_with_path(g_cp)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_cp) == len(flat_ref)
+    for (path, a), b in zip(flat_cp, flat_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        # tolerance: bf16-matmul cotangents reduce in a different order
+        # under the psum'd transpose (ulp-scale, ~2^-7 relative); a
+        # MISSING psum — the failure this test pins — is a 4x/0.25x
+        # error, three orders of magnitude past this band
+        tol = 1e-2 * max(1.0, float(np.abs(b).max()))
+        assert float(np.abs(a - b).max()) <= tol, (
+            f"CP gradient diverged at {jax.tree_util.keystr(path)}: "
+            f"max|Δ|={np.abs(a - b).max():.4g} > {tol:.4g}"
+        )
+
+
+def test_build_index_cp_matches_and_composes_with_model_sharding():
+    """r4 verdict item 3: CP as a PATH — build_index(cp_shards=4)
+    encodes targets on a dedicated {'seq':4} mesh and must produce the
+    same index as the plain builder, INCLUDING when the index buffer is
+    simultaneously row-sharded over a separate {'model'} mesh (the axis
+    contract in context.py: CP never claims the index's 'model' axis)."""
+    from sse_tpu.data.corpus import TargetSpace
+    from sse_tpu.index.sharded_index import build_index
+    from sse_tpu.models import NetworkMode, SSEConfig, TowerConfig, init_params
+
+    cfg = SSEConfig(
+        mode=NetworkMode.SHARED_ENCODER,
+        src_tower=TowerConfig(
+            vocab_size=50, embed_dim=16, hidden=16, encoding_dim=8,
+            cell="transformer", num_layers=2, num_heads=2, readout="mean",
+            max_len=64,
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    T, L = 23, 14  # L NOT divisible by 4: exercises the cp pad path
+    toks = rng.integers(2, 50, size=(T, L)).astype(np.int32)
+    lens = rng.integers(1, L + 1, size=(T,)).astype(np.int32)
+    for i in range(T):
+        toks[i, lens[i]:] = 0
+    tspace = TargetSpace(
+        ids=[f"t{i}" for i in range(T)],
+        texts=[f"doc {i}" for i in range(T)],
+        tokens=toks,
+        lengths=lens,
+        id_to_row={f"t{i}": i for i in range(T)},
+    )
+
+    ref = build_index(params, cfg, tspace, mesh=None, batch_size=8)
+    out = build_index(params, cfg, tspace, mesh=None, batch_size=8,
+                      cp_shards=4)
+    np.testing.assert_allclose(
+        np.asarray(out.emb)[:T], np.asarray(ref.emb)[:T],
+        rtol=2e-5, atol=2e-6,
+        err_msg="cp_shards index != plain index",
+    )
+
+    # composition: index rows TP-sharded over {'model':2} while the
+    # encode runs CP over a {'seq':4} mesh of the same devices
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    out2 = build_index(params, cfg, tspace, mesh=mesh, batch_size=8,
+                       cp_shards=4)
+    assert out2.emb.sharding.spec[0] == "model"
+    np.testing.assert_allclose(
+        np.asarray(out2.emb)[:T], np.asarray(ref.emb)[:T],
+        rtol=2e-5, atol=2e-6,
+        err_msg="cp encode composed with model-sharded index diverged",
+    )
+
+
 def test_2d_mesh_fused_query_matches_single_device():
     """r4 verdict item 5: the north-star 8-chip serving topology — query
     DP over 'data' × index TP over 'model' in ONE fused program
