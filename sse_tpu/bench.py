@@ -235,6 +235,7 @@ def run_train_bench(
     num_negatives: int = 128,
     encoding_dim: int = 128,
     chain: int = 8,
+    embed_grad: str = "take",
 ) -> Dict[str, Any]:
     """Training throughput: donated jitted train step (dual-encoder GRU,
     sampled-softmax negatives) steps/sec and examples/sec. Measures the
@@ -246,7 +247,7 @@ def run_train_bench(
 
     tower = TowerConfig(
         vocab_size=8000, embed_dim=128, hidden=128, num_layers=1,
-        encoding_dim=encoding_dim, cell="gru",
+        encoding_dim=encoding_dim, cell="gru", embed_grad=embed_grad,
     )
     model_cfg = SSEConfig(
         mode=NetworkMode.DUAL_ENCODER, src_tower=tower, tgt_tower=tower

@@ -52,6 +52,11 @@ class TaskConfig:
     # measured sinusoid strictly worst at every tested shape (0.3157 vs
     # RoPE's 0.8198, BASELINE.md r4); RNN/bow cells ignore this field.
     pos_encoding: str = "rope"
+    # embedding-table gradient implementation: take | segment |
+    # sort_segment | onehot (towers.TowerConfig.embed_grad — forward
+    # identical, only the [V, E] cotangent path differs; default follows
+    # the r5 roofline measurement in BASELINE.md)
+    embed_grad: str = "take"
     # training
     batch_size: int = 128
     learning_rate: float = 0.01
@@ -113,6 +118,7 @@ class TaskConfig:
             dropout=self.dropout,
             residual=self.residual,
             pos_encoding=self.pos_encoding,
+            embed_grad=self.embed_grad,
         )
         mode = NetworkMode(self.network_mode)
         if mode == NetworkMode.SOURCE_ENCODER_ONLY:

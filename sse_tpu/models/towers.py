@@ -84,6 +84,105 @@ class TowerConfig:
     # Transformer towers are residual by construction; this flag only
     # affects gru/lstm stacks and is a no-op at num_layers == 1.
     residual: bool = False
+    # Backward implementation for the [V, E] embedding-table gradient —
+    # the r4 roofline's scatter-add (223 µs of the 666 µs device step,
+    # 33%). Forward is jnp.take in every case (bit-identical); only the
+    # cotangent computation differs:
+    #   'take'         — XLA autodiff's scatter-add (the r4 behavior)
+    #   'segment'      — segment_sum over the flat token stream
+    #   'sort_segment' — argsort tokens, then indices_are_sorted
+    #                    segment_sum (contiguous-run adds)
+    #   'onehot'       — one_hot(tokens)^T @ dy on the MXU (bf16
+    #                    operands, fp32 accumulation — same precision
+    #                    trade as the fused RNN VJP, quality-gated)
+    # All four are numerically the sum of the same per-token cotangent
+    # rows; 'onehot' rounds dy to bf16 first (~1e-2 relative, the
+    # precision the training stack already accepts elsewhere). Default
+    # follows the r5 measurement (BASELINE.md r5 roofline).
+    embed_grad: str = "take"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _embed_lookup(table: jax.Array, tokens: jax.Array, impl: str):
+    """jnp.take(table, tokens, 0) with a configurable cotangent path
+    (TowerConfig.embed_grad). The forward — and therefore every eval /
+    serving / index program — is identical for all impls."""
+    return jnp.take(table, tokens, axis=0)
+
+
+def _embed_lookup_fwd(table, tokens, impl):
+    return jnp.take(table, tokens, axis=0), (tokens, table.shape[0])
+
+
+def _embed_lookup_bwd(impl, res, dy):
+    tokens, vocab = res
+    tok = tokens.reshape(-1)
+    dy2 = dy.reshape(-1, dy.shape[-1])
+    if impl == "segment":
+        dt = jax.ops.segment_sum(dy2, tok, num_segments=vocab)
+    elif impl == "sort_segment":
+        order = jnp.argsort(tok)
+        dt = jax.ops.segment_sum(
+            dy2[order], tok[order], num_segments=vocab,
+            indices_are_sorted=True,
+        )
+    elif impl == "onehot":
+        oh = jax.nn.one_hot(tok, vocab, dtype=_COMPUTE_DTYPE)  # [P, V]
+        dt = jax.lax.dot_general(
+            oh, dy2.astype(_COMPUTE_DTYPE),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    elif impl == "take_bf16":
+        # scatter-add in bfloat16: halves the dy-read + table-RMW HBM
+        # traffic if the scatter is bandwidth-bound (same ~1e-2-relative
+        # rounding the training stack accepts in its gradient matmuls)
+        dt = (
+            jnp.zeros((vocab, dy2.shape[-1]), jnp.bfloat16)
+            .at[tok]
+            .add(dy2.astype(jnp.bfloat16))
+            .astype(dy2.dtype)
+        )
+    elif impl == "spread8":
+        # collision-spread scatter: 8 interleaved sub-tables make
+        # duplicate vocab ids (uniform tokens: ~14 collisions/row at the
+        # bench shapes) mostly unique per sub-table, then a dense [8,V,E]
+        # sum folds them — trades 8x table traffic for collision-free
+        # scatter lanes. Exact (fp32 adds reassociated only).
+        n = 8
+        pos = jax.lax.iota(jnp.int32, tok.shape[0])
+        dt = (
+            jnp.zeros((n * vocab, dy2.shape[-1]), dy2.dtype)
+            .at[tok * n + (pos % n)]
+            .add(dy2)
+            .reshape(vocab, n, dy2.shape[-1])
+            .sum(axis=1)
+        )
+    elif impl == "presorted_cost":
+        # measurement-only: models a HOST-presorted order operand riding
+        # with the batch (tokens are known host-side, so the argsort that
+        # makes 'sort_segment' lose could be free). The baked permutation
+        # makes the RESULT wrong — never a training config; exists to
+        # bound the win of gather + indices_are_sorted segment_sum with
+        # the device-side sort removed.
+        perm = jax.random.permutation(
+            jax.random.PRNGKey(0), tok.shape[0]
+        )
+        dt = jax.ops.segment_sum(
+            dy2[perm], tok[perm], num_segments=vocab,
+            indices_are_sorted=True,
+        )
+    elif impl == "zero_debug":
+        # measurement-only floor (roofline attribution): the table
+        # cotangent is dropped entirely. NEVER a training config — it
+        # freezes the embedding table.
+        dt = jnp.zeros((vocab, dy2.shape[-1]), dy2.dtype)
+    else:
+        raise ValueError(f"unknown embed_grad impl {impl!r}")
+    return dt, None
+
+
+_embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
 
 
 def _glorot(key, shape):
@@ -495,7 +594,10 @@ def encode_raw(
     forward fully deterministic."""
     train = dropout_rng is not None and cfg.dropout > 0.0
     B, L = tokens.shape
-    emb = jnp.take(params["embed"], tokens, axis=0)  # [B,L,E] fp32
+    if cfg.embed_grad == "take":
+        emb = jnp.take(params["embed"], tokens, axis=0)  # [B,L,E] fp32
+    else:
+        emb = _embed_lookup(params["embed"], tokens, cfg.embed_grad)
     if train:
         k_in, k_out = jax.random.split(dropout_rng)
         emb = _dropout(emb, cfg.dropout, k_in)

@@ -387,3 +387,52 @@ def test_transformer_rope():
     np.testing.assert_allclose(rdot(3, 1), rdot(9, 7), rtol=1e-5)
     np.testing.assert_allclose(rdot(5, 5), float(jnp.sum(a * b)), rtol=1e-5)
     assert abs(rdot(3, 1) - rdot(1, 3)) > 1e-6  # direction-sensitive
+
+
+@pytest.mark.parametrize(
+    "impl", ["segment", "sort_segment", "onehot", "take_bf16", "spread8"]
+)
+def test_embed_grad_impls_match_take(impl):
+    """TowerConfig.embed_grad changes only the embedding-table cotangent
+    computation: forwards are bit-identical, and every impl's dTable
+    matches autodiff's scatter-add (exactly for the integer-permutation
+    impls; to bf16-rounding tolerance for the MXU one-hot matmul)."""
+    from sse_tpu.models.towers import encode_raw
+
+    cfg_take = tower("gru", num_layers=1)
+    cfg_alt = tower("gru", num_layers=1, embed_grad=impl)
+    from sse_tpu.models.towers import init_tower
+
+    p = init_tower(jax.random.PRNGKey(0), cfg_take)
+    tokens, lengths = rand_batch(jax.random.PRNGKey(1))
+    # duplicate tokens across rows to exercise colliding scatter indices
+    tokens = tokens.at[1].set(tokens[0])
+
+    out_take = encode_raw(p, cfg_take, tokens, lengths)
+    out_alt = encode_raw(p, cfg_alt, tokens, lengths)
+    np.testing.assert_array_equal(np.asarray(out_take), np.asarray(out_alt))
+
+    def loss(params, cfg):
+        out = encode_raw(params, cfg, tokens, lengths)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g_take = jax.grad(loss)(p, cfg_take)["embed"]
+    g_alt = jax.grad(loss)(p, cfg_alt)["embed"]
+    if impl in ("onehot", "take_bf16"):
+        # atol covers bf16 cancellation on near-zero accumulated sums
+        np.testing.assert_allclose(
+            np.asarray(g_alt), np.asarray(g_take), rtol=0.02, atol=5e-3
+        )
+    elif impl == "spread8":
+        # exact up to fp32 re-association of colliding adds
+        np.testing.assert_allclose(
+            np.asarray(g_alt), np.asarray(g_take), rtol=1e-5, atol=1e-6
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(g_alt), np.asarray(g_take), rtol=1e-6, atol=1e-7
+        )
+    # rows of untouched vocab ids must stay exactly zero
+    touched = np.zeros(V, bool)
+    touched[np.asarray(tokens).reshape(-1)] = True
+    assert np.all(np.asarray(g_alt)[~touched] == 0.0)
