@@ -236,6 +236,8 @@ def run_train_bench(
     encoding_dim: int = 128,
     chain: int = 8,
     embed_grad: str = "take",
+    norm_metric: str = "grad",
+    optimizer: str = "adam",
 ) -> Dict[str, Any]:
     """Training throughput: donated jitted train step (dual-encoder GRU,
     sampled-softmax negatives) steps/sec and examples/sec. Measures the
@@ -256,6 +258,8 @@ def run_train_bench(
         batch_size=batch,
         loss=LossConfig(kind="sampled", num_negatives=num_negatives),
         steps_per_dispatch=chain,
+        norm_metric=norm_metric,
+        optimizer=optimizer,
     )
     state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
     step_fn = make_train_step(model_cfg, cfg, donate=False)

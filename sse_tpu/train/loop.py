@@ -79,6 +79,15 @@ class TrainConfig:
     # convergence (beyond-reference quality lever, measured on the hard
     # benchmark in BASELINE.md)
     ema_decay: float = 0.0
+    # Which norm the per-step `grad_norm` metric reports (r5 tail
+    # study, BASELINE.md): 'update' = the post-clip post-adam update
+    # norm (r1-r4 behavior; costs ONE extra full-parameter-tree
+    # reduction every step — measured -3.5% steps/s at B=256, noise at
+    # B=1024), 'grad' = the raw gradient norm — the SAME reduction
+    # clip_by_global_norm already computes, so XLA CSE makes it free —
+    # or 'none' (metric reports 0; measurement use). Training math is
+    # identical under all three; the metric is advisory (logged only).
+    norm_metric: str = "grad"  # grad | update | none
     # Dispatch chaining (r4): run this many consecutive train steps as
     # ONE jitted program (lax.scan over pre-stacked packed batches) so
     # per-dispatch host/link overhead amortizes K-fold. Bit-identical to
@@ -288,7 +297,14 @@ def make_train_step(
             labels_multi,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        gnorm = optax.global_norm(updates)
+        if cfg.norm_metric == "update":
+            gnorm = optax.global_norm(updates)
+        elif cfg.norm_metric == "grad":
+            # same subgraph clip_by_global_norm evaluates inside
+            # tx.update → XLA CSE collapses the two, so this is free
+            gnorm = optax.global_norm(grads)
+        else:
+            gnorm = jnp.zeros((), jnp.float32)
         params = jax.tree.map(
             lambda p, u: p - state.lr * u, state.params, updates
         )

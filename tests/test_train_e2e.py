@@ -551,3 +551,47 @@ def test_dispatch_chaining_bit_identical():
     )
     assert int(s1.step) == int(s4.step)
     assert records[1] == records[4]  # same checkpoint-window steps
+
+
+def test_norm_metric_modes_identical_training_math():
+    """norm_metric only changes the ADVISORY grad_norm metric (r5 tail
+    study, BASELINE.md): params after a step are bit-identical under
+    'grad' (default), 'update' (r1-r4 behavior), and 'none'; the metric
+    itself differs ('none' reports 0; clipped-adam update norms and raw
+    grad norms are different signals)."""
+    from sse_tpu.train import init_train_state, make_train_step
+
+    t = tower(257)
+    model_cfg = SSEConfig(mode=NetworkMode.DUAL_ENCODER, src_tower=t,
+                          tgt_tower=t)
+    key = jax.random.PRNGKey(3)
+    src_toks = jax.random.randint(key, (8, 12), 2, 257, dtype=jnp.int32)
+    lengths = jnp.full((8,), 12, jnp.int32)
+    labels = jnp.arange(8, dtype=jnp.int32)
+    weight = jnp.ones((8,), jnp.float32)
+    tgt_toks = jax.random.randint(
+        jax.random.PRNGKey(4), (16, 12), 2, 257, dtype=jnp.int32)
+    tgt_lens = jnp.full((16,), 12, jnp.int32)
+
+    outs = {}
+    for nm in ("grad", "update", "none"):
+        cfg = TrainConfig(
+            batch_size=8,
+            loss=LossConfig(kind="inbatch"),
+            norm_metric=nm,
+        )
+        state = init_train_state(jax.random.PRNGKey(0), model_cfg, cfg)
+        step_fn = make_train_step(model_cfg, cfg, donate=False)
+        new_state, metrics = step_fn(
+            state, src_toks, lengths, labels, weight, tgt_toks, tgt_lens)
+        outs[nm] = (new_state.params, float(metrics["grad_norm"]))
+
+    for nm in ("update", "none"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            outs["grad"][0], outs[nm][0],
+        )
+    assert outs["none"][1] == 0.0
+    assert outs["grad"][1] > 0.0
+    assert abs(outs["grad"][1] - outs["update"][1]) > 1e-9
