@@ -545,6 +545,332 @@ def _kernel(
         out_ref[:, k:] = ri[:]
 
 
+# ------------------------------------------------ two-phase block-max (r5)
+#
+# The r5 bisect (docs/kernels.md) proved the streaming-harvest
+# architecture floor-bound at the large-batch headline shape: its
+# matmul runs at the XLA floor, but the exactness machinery
+# (consolidation + the k-pass fallback) costs ~81 ms of PRESENCE at
+# B=4096 — Mosaic serializes the conditional bodies into every block's
+# pipeline whether or not they execute. This variant has NO
+# data-dependent branches at all. Two kernels + plain-XLA glue, all in
+# one jit:
+#
+#   phase 1  streams the index once and keeps, per query row, the
+#            top-k BLOCKS by packed block max (matmul + one fused
+#            reduce + an O(k) running-buffer update — nothing else);
+#   mid      lays the B·k (row, block) pairs out block-sorted in
+#            pair_tile-sized tiles (argsort/cumsum/scatter — ~40k
+#            elements, noise);
+#   phase 2  re-scores ONLY those pairs' blocks (gathered q tile vs
+#            one emb block per grid step — B·k·bt·D MACs, ~1/60th of
+#            phase 1 at the headline shape) and extracts each pair's
+#            block-local top-k with unconditional packed passes;
+#   merge    per row, sorts the k·k candidates by (key desc, global
+#            row asc) — bit-identical tie semantics to the streaming
+#            packed kernel (earliest block, lowest column).
+#
+# EXACTNESS. For any row, order elements by the packed key (quantized
+# score; exact integers on int8), ties to earlier block / lower
+# column. Claim: every top-k element's block is among the row's top-k
+# blocks ordered by (packed block max, earlier block). Proof: let e be
+# an element and A any block ranked strictly above e's block B. Then
+# either max(A) has a strictly greater quantized score than max(B) >=
+# q(e), or equal score and A earlier than B — in both cases the
+# element attaining max(A) precedes e in the element order, and those
+# elements are distinct across distinct A. So if B ranked below k-th,
+# at least k elements precede e, i.e. e is not in the top-k. Hence
+# phase 2's union of per-pair top-k contains the true top-k, and the
+# merge selects them in contract order.
+
+_TWOPHASE_MIN_BATCH = 1024  # measured crossover vs 512-row chunking
+
+
+def pick_twophase_block_t(
+    t_pad: int, batch: int, k: int, d: int, itemsize: int,
+    variant: str = "packed",
+) -> Optional[int]:
+    """block_t for the two-phase kernel, or None if the streaming kernel
+    should serve this shape. Policy (r5, measured on v5e at the B=4096
+    headline shape — docs/kernels.md):
+      * two-phase pays only at large batches (26.4 vs 28.1 ms at
+        B=4096; at B<=512 the chunked streaming kernel wins);
+      * the LARGEST feasible block wins for phase 1 (bt=4096: 305 grid
+        steps = 26.4 ms; bt=2048: 610 steps = 38.7 ms — per-step fixed
+        costs, not tile size, bind a branch-free kernel);
+      * phase-1 fp32 scores tile B*bt*4 must fit the 100 MiB VMEM
+        ceiling next to q + 2 pipelined emb blocks;
+      * k <= nblocks <= 4096 (phase-2 packs block ids in 12 bits)."""
+    if variant != "packed" or batch < _TWOPHASE_MIN_BATCH or k > 128:
+        return None
+    budget = 72 * 1024 * 1024
+    for bt in (4096, 2048, 1024, 512):
+        if t_pad % bt:
+            continue
+        nb = t_pad // bt
+        if not (k <= nb <= _IDX_MASK + 1):
+            continue
+        if batch * bt * 4 + 2 * bt * d * itemsize > budget:
+            continue
+        return bt
+    return None
+
+
+def _blockmax_kernel(
+    nr_ref, q_ref, emb_ref, out_ref, rbk, *, k, block_t, int_exact
+):
+    """Phase 1: running top-k of packed block maxes, one per grid step.
+    Branch-free except the first/last-step init/copy."""
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    b = out_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        # distinct sub-sink init keys: uniqueness keeps the min-slot
+        # replacement one-hot; the caller's validity mask filters them
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+        rbk[:] = _INT_MIN + lane0
+
+    num_real = nr_ref[0]
+    scores = _block_scores(q_ref[:], emb_ref[:], raw_int=int_exact)
+    row0 = i * block_t
+    # max FIRST, encode the [B, 1] result AFTER: key quantization is
+    # monotone, so enc(max(scores)) == max(enc(scores)) — the full-tile
+    # encode walks (+~8 ms/batch at B=4096, r5 phase bisect) never
+    # happen. Padding masks in raw score space with a [1, BT] broadcast
+    # iota (a full-tile [B, BT] iota is a materialized walk; the
+    # broadcast compare rides the reduce).
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_t), 1)
+    low = (
+        jnp.int32(-_INT_SCORE_CLIP) if int_exact else jnp.float32(NEG)
+    )
+    masked = jnp.where(row0 + col1 < num_real, scores, low)
+    bmax = jnp.max(masked, axis=1, keepdims=True)  # [B, 1] raw max
+    p1 = _enc_key(bmax, int_exact) | (_IDX_MASK - i)
+    # (a fully padded block yields the sink key on float paths / the
+    # clip-floor key on int8 — either loses to every real block, and
+    # phase 2's own column masking sinks its candidates regardless)
+    cur = rbk[:]
+    minv = jnp.min(cur, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+    # first slot holding the min (stored keys are unique, but the
+    # iota-min form stays one-hot even if that invariant ever broke)
+    slot = jnp.min(
+        jnp.where(cur == minv, lane, k), axis=1, keepdims=True
+    )
+    rbk[:] = jnp.where((lane == slot) & (p1 > minv), p1, cur)
+
+    @pl.when(i == nblocks - 1)
+    def _():
+        out_ref[:] = rbk[:]
+
+
+def _pair_topk_kernel(
+    nr_ref, sb_ref, qg_ref, emb_ref, out_ref, *, k, block_t, int_exact
+):
+    """Phase 2: one (query-tile, block) pair tile per grid step — the
+    step's emb block is chosen by the prefetched schedule, so Mosaic
+    skips the re-DMA when consecutive steps share a block (the mid-pass
+    sorts pairs by block to maximize that). Unconditional k-pass packed
+    extraction; no thresholds, no branches."""
+    num_real = nr_ref[0]
+    i = pl.program_id(0)
+    row0 = sb_ref[i] * block_t
+    scores = _block_scores(qg_ref[:], emb_ref[:], raw_int=int_exact)
+    # [1, BT] broadcast iota: the column bits and the padding mask ride
+    # the key walk instead of materializing a [P, BT] iota
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_t), 1)
+    sink = _INT_SINK if int_exact else _NEG_SINK
+    keys = jnp.where(
+        row0 + col1 < num_real,
+        _enc_key(scores, int_exact) | (_IDX_MASK - col1),
+        sink | (_IDX_MASK - col1),  # in-range ids, never-winning keys
+    )
+    kv, cols = _packed_extract(keys, k)
+    out_ref[:, :k] = kv
+    out_ref[:, k:] = row0 + cols
+
+
+def fused_score_topk_twophase(
+    q: jax.Array,  # [B, D] queries
+    emb: jax.Array,  # [T_pad, D] index rows (T_pad % block_t == 0)
+    k: int,
+    num_real,  # int or traced int32 scalar
+    block_t: int = 2048,
+    pair_tile: int = 128,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k (values, row indices) of q @ emb.T — the r5 two-phase
+    block-max architecture (see the section comment above). Selection
+    semantics are IDENTICAL to ``fused_score_topk(variant='packed')``:
+    11-mantissa-bit quantized keys on float paths, unconditionally
+    exact integer keys on int8, ties to the earliest block then the
+    lowest column. Requires k <= nblocks = T_pad/block_t <= 4096."""
+    b, d = q.shape
+    t_pad = emb.shape[0]
+    if t_pad % block_t:
+        raise ValueError(f"T_pad {t_pad} not a multiple of {block_t}")
+    nblocks = t_pad // block_t
+    if block_t > _IDX_MASK + 1 or nblocks > _IDX_MASK + 1:
+        raise ValueError(
+            f"twophase needs block_t and nblocks <= {_IDX_MASK + 1}"
+        )
+    if k > nblocks:
+        raise ValueError(f"twophase needs k <= nblocks ({k} > {nblocks})")
+    int_exact = emb.dtype == jnp.int8
+    if int_exact:
+        if q.dtype != jnp.int8:
+            q = quantize_queries_int8(q)
+    else:
+        q = q.astype(emb.dtype)
+    nr = jnp.asarray(num_real, jnp.int32).reshape((1,))
+
+    # ---- phase 1
+    p1_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (b, d), lambda i, nr: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_t, d), lambda i, nr: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, k), lambda i, nr: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((b, k), jnp.int32)],
+    )
+    rbk = pl.pallas_call(
+        functools.partial(
+            _blockmax_kernel, k=k, block_t=block_t, int_exact=int_exact
+        ),
+        grid_spec=p1_spec,
+        out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * t_pad,
+            bytes_accessed=t_pad * d * emb.dtype.itemsize + b * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(nr, q, emb)
+
+    # ---- mid-pass: block-sorted pair tiles (plain XLA, ~B*k elements)
+    sink_base = _INT_SINK if int_exact else _NEG_SINK
+    cleared = rbk & ~jnp.int32(_IDX_MASK)
+    blk = _IDX_MASK - (rbk & _IDX_MASK)
+    valid = (cleared != sink_base) & (cleared != _INT_MIN)
+    npairs = b * k
+    blk_flat = jnp.where(valid, blk, nblocks).reshape(npairs)
+    row_flat = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, k)
+    ).reshape(npairs)
+    perm = jnp.argsort(blk_flat)  # stable
+    sblk = blk_flat[perm]
+    srow = row_flat[perm]
+    pidx = jnp.arange(npairs, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sblk[1:] != sblk[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, pidx, 0))
+    rank = pidx - run_start
+    counts = jnp.bincount(sblk, length=nblocks + 1)
+    steps_per_block = (counts[:nblocks] + pair_tile - 1) // pair_tile
+    base_step = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(steps_per_block).astype(jnp.int32),
+        ]
+    )
+    # static step bound: every nonempty block costs <= 1 partial tile
+    # beyond its exact pair_tile quota
+    nstep = min(nblocks, npairs) + -(-npairs // pair_tile)
+    in_range = sblk < nblocks
+    step_of = jnp.where(
+        in_range,
+        base_step[jnp.minimum(sblk, nblocks - 1)] + rank // pair_tile,
+        nstep,  # dropped by the scatters below
+    )
+    pos = jnp.where(
+        in_range, step_of * pair_tile + rank % pair_tile,
+        nstep * pair_tile,
+    )
+    rows_padded = (
+        jnp.zeros((nstep * pair_tile,), jnp.int32)
+        .at[pos].set(srow, mode="drop")
+    )
+    sb = (
+        jnp.zeros((nstep,), jnp.int32)
+        .at[step_of].set(jnp.minimum(sblk, nblocks - 1), mode="drop")
+    )
+    qg = q[rows_padded]  # [nstep * pair_tile, D]
+
+    # ---- phase 2
+    p2_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec(
+                (pair_tile, d), lambda i, nr, sb: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_t, d), lambda i, nr, sb: (sb[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (pair_tile, 2 * k), lambda i, nr, sb: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[],
+    )
+    out2 = pl.pallas_call(
+        functools.partial(
+            _pair_topk_kernel, k=k, block_t=block_t, int_exact=int_exact
+        ),
+        grid_spec=p2_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nstep * pair_tile, 2 * k), jnp.int32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nstep * pair_tile * d * block_t,
+            bytes_accessed=nstep * block_t * d * emb.dtype.itemsize
+            + nstep * pair_tile * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(nr, sb, qg, emb)
+
+    # ---- merge: k*k candidates per row, contract tie order
+    safe_pos = jnp.minimum(pos, nstep * pair_tile - 1)
+    cand = out2[safe_pos]  # [npairs, 2k], sorted-pair order
+    ck = jnp.where(in_range[:, None], cand[:, :k], sink_base)
+    cr = jnp.where(in_range[:, None], cand[:, k:], 0)
+    inv = jnp.zeros((npairs,), jnp.int32).at[perm].set(pidx)
+    ck = ck[inv].reshape(b, k * k)
+    cr = cr[inv].reshape(b, k * k)
+    # ascending (key, -row) == reversed (key desc, row asc): equal
+    # quantized keys resolve to the smallest global row — i.e. the
+    # earliest block then the lowest column, exactly like the
+    # streaming kernel's slot order
+    skey, _, srows = jax.lax.sort(
+        (ck, -cr, cr), num_keys=2, dimension=1, is_stable=False
+    )
+    top_keys = skey[:, ::-1][:, :k]
+    top_rows = srows[:, ::-1][:, :k]
+    return _dec_val(top_keys, int_exact), top_rows
+
+
 DEFAULT_GROUP = 256  # harvest row-group size (see _packed_kernel)
 
 # Largest fp32 scores tile [B, BT] that still pipelines well on v5e —

@@ -361,3 +361,123 @@ def test_fused_topk_multigroup_interpret(group):
     evals, eidx = _reference(q, emb, 10, num_real, quantized=True)
     np.testing.assert_array_equal(np.asarray(idx), eidx)
     np.testing.assert_allclose(np.asarray(vals), evals, rtol=2e-2)
+
+
+# ---------------------------------------------------- two-phase (r5)
+
+
+def _tp(q, emb, k, num_real, **kw):
+    """One-jit wrapper: the mid-pass is plain XLA and compiles per-op
+    (slowly) in eager mode; tests always run it jitted."""
+    from sse_tpu.ops.fused_topk import fused_score_topk_twophase
+
+    return jax.jit(
+        lambda q, e: fused_score_topk_twophase(
+            q, e, k, num_real, interpret=True, **kw
+        )
+    )(q, emb)
+
+
+@pytest.mark.parametrize("num_real_off", [0, 3, 100])
+@pytest.mark.parametrize("k", [1, 10])
+def test_twophase_matches_packed_interpret(k, num_real_off):
+    """The two-phase block-max kernel selects IDENTICALLY to the
+    streaming packed kernel (same quantized keys, same tie order)."""
+    b, d, t = 8, 32, 1024
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    num_real = t - num_real_off
+    vals, idx = _tp(q, emb, k, num_real, block_t=64)
+    evals, eidx = fused_score_topk(
+        q, emb, k, num_real, block_t=64, interpret=True, variant="packed"
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(eidx))
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(evals))
+
+
+def test_twophase_massive_ties_interpret():
+    """Tied quantized keys resolve to the earliest block then the lowest
+    column — the streaming kernel's contract."""
+    b, d, t = 8, 32, 1024
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(
+        np.tile(_bf16r(rng.normal(size=(16, d)).astype(np.float32)), (64, 1))
+    )
+    vals, idx = _tp(q, emb, 10, t, block_t=64)
+    evals, eidx = fused_score_topk(
+        q, emb, 10, t, block_t=64, interpret=True, variant="packed"
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(eidx))
+
+
+def test_twophase_int8_near_ties_exact_interpret():
+    """int8 selection stays UNCONDITIONALLY exact through the two-phase
+    path (integer keys in both phases): +/-1-unit near-ties agree with
+    argsort over the exact int32 scores, values included."""
+    from sse_tpu.ops.fused_topk import quantize_queries_int8
+
+    d = 8
+    base = jnp.zeros((256, d), jnp.int8).at[:, 0].set(127)
+    pert = jax.random.randint(jax.random.PRNGKey(9), (256, d), -1, 2, jnp.int32)
+    emb = jnp.clip(base.astype(jnp.int32) + pert, -127, 127).astype(jnp.int8)
+    q = jnp.zeros((4, d), jnp.float32).at[:, 0].set(1.0)
+    s = np.asarray(
+        jnp.dot(
+            quantize_queries_int8(q).astype(jnp.int32),
+            emb.astype(jnp.int32).T,
+        )
+    )
+    order = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    vals, idx = _tp(q, emb, 10, 256, block_t=16)
+    np.testing.assert_array_equal(np.asarray(idx), order)
+    np.testing.assert_allclose(
+        np.asarray(vals),
+        np.take_along_axis(s, order, axis=1) / (127.0 * 127.0),
+        rtol=0,
+        atol=0,
+    )
+
+
+def test_twophase_fully_padded_and_traced_num_real_interpret():
+    b, d, t = 4, 32, 512
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    # fully padded shard: in-range ids, sink values
+    vals, idx = _tp(q, emb, 5, 0, block_t=64)
+    assert int(jnp.max(idx)) < t
+    assert float(jnp.max(vals)) < -1e30
+    # traced num_real matches the static streaming kernel
+    from sse_tpu.ops.fused_topk import fused_score_topk_twophase
+
+    f = jax.jit(
+        lambda q, e, nr: fused_score_topk_twophase(
+            q, e, 5, nr, block_t=64, interpret=True
+        )
+    )
+    v3, i3 = f(q, emb, jnp.asarray(300, jnp.int32))
+    v4, i4 = fused_score_topk(
+        q, emb, 5, 300, block_t=64, interpret=True, variant="packed"
+    )
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+
+
+def test_twophase_k_equals_nblocks_and_validation():
+    from sse_tpu.ops.fused_topk import fused_score_topk_twophase
+
+    b, d, t = 4, 32, 512
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    # k == nblocks: every block is a candidate — trivially exact
+    vals, idx = _tp(q, emb, 8, t, block_t=64)
+    evals, eidx = fused_score_topk(
+        q, emb, 8, t, block_t=64, interpret=True, variant="packed"
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(eidx))
+    with pytest.raises(ValueError, match="k <= nblocks"):
+        fused_score_topk_twophase(q, emb, 9, t, block_t=64, interpret=True)
+    with pytest.raises(ValueError, match="not a multiple"):
+        fused_score_topk_twophase(q, emb, 4, t, block_t=100, interpret=True)
