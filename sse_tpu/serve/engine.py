@@ -22,7 +22,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sse_tpu.index.sharded_index import ShardedIndex
 from sse_tpu.models import sse
 from sse_tpu.models.sse import SSEConfig
-from sse_tpu.ops.fused_topk import fused_score_topk, pick_kernel_config
+from sse_tpu.ops.fused_topk import (
+    fused_score_topk,
+    fused_score_topk_twophase,
+    pick_kernel_config,
+    pick_twophase_block_t,
+)
 
 # Max emb chunks streamed per kernel grid step (per-transfer DMA issue
 # amortization — sse_tpu.ops.fused_topk dma_span). Raised only on
@@ -149,8 +154,37 @@ def build_fused_query_fn(
 
     def chunked_topk(q, emb_arr, nr, axis):
         """Score q in ≤MAX_KERNEL_BATCH chunks (see the constant's note);
-        each chunk resolves its own (block_t, group) config."""
+        each chunk resolves its own (block_t, group) config. Large
+        batches (r5, measured on v5e: B≥1024 at the headline shape) go
+        to the branch-free two-phase block-max kernel in ONE dispatch
+        instead — 26.4 ms vs 28.1 ms chunked at B=4096/T=1.25M, with
+        bit-identical selection (docs/kernels.md r5 two-phase section)."""
         b = q.shape[0]
+        pallas_wanted = (
+            use_pallas
+            if use_pallas is not None
+            else jax.devices()[0].platform not in ("cpu",)
+        )
+        if pallas_wanted and k <= 128:
+            bt2 = pick_twophase_block_t(
+                emb_arr.shape[0], b, k, model_cfg.encoding_dim,
+                jnp.dtype(emb_dtype).itemsize, pallas_variant,
+            )
+            if bt2 is not None:
+                t_local = emb_arr.shape[0]
+                row0 = jax.lax.axis_index(axis) * t_local if axis else 0
+                nr_local = (
+                    jnp.clip(
+                        jnp.asarray(nr, jnp.int32) - row0, 0, t_local
+                    )
+                    if axis
+                    else nr
+                )
+                vals, idx = fused_score_topk_twophase(
+                    q, emb_arr, k, nr_local, block_t=bt2,
+                    interpret=interpret,
+                )
+                return vals, idx + row0
         parts = []
         for lo in range(0, b, MAX_KERNEL_BATCH):
             qc = q[lo : lo + MAX_KERNEL_BATCH]

@@ -1183,3 +1183,50 @@ def test_chunked_kernel_dispatch_matches_unchunked(setup):
         engine_mod.MAX_KERNEL_BATCH = old
     np.testing.assert_array_equal(np.asarray(ci), np.asarray(ri))
     np.testing.assert_allclose(np.asarray(cv), np.asarray(rv), rtol=1e-6)
+
+
+def test_twophase_engine_dispatch_matches_chunked(setup, monkeypatch):
+    """Large batches route to the two-phase block-max kernel in one
+    dispatch (r5); results must be bit-identical to the chunked
+    streaming path, unsharded AND on a {model: 2} mesh (which pins the
+    global-row lifting and per-shard num_real clipping)."""
+    import sse_tpu.ops.fused_topk as ft
+    from sse_tpu.serve.engine import build_fused_query_fn
+
+    vocab, tspace, model_cfg, params, tg = setup
+    d = model_cfg.encoding_dim
+    t = 8192
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(t, d)).astype(np.float32)
+    emb = jnp.asarray(emb / np.linalg.norm(emb, axis=1, keepdims=True))
+    num_real = t - 100
+    b, k = 16, 5
+    tokens = jnp.asarray(rng.integers(2, 60, size=(b, 10)), jnp.int32)
+    lengths = jnp.full((b,), 10, jnp.int32)
+
+    common = dict(use_pallas=True, interpret=True)
+    # reference: two-phase disabled (min-batch gate above b)
+    ref_fn = build_fused_query_fn(
+        model_cfg, k=k, num_real=num_real, **common
+    )
+    rv, ri = ref_fn(params, emb, tokens, lengths)
+
+    # two-phase engaged: gate below b → pick returns the largest
+    # feasible block with nb ≥ k (1024 here: nb=8 ≥ 5)
+    monkeypatch.setattr(ft, "_TWOPHASE_MIN_BATCH", 8)
+    assert ft.pick_twophase_block_t(t, b, k, d, 4) == 1024
+    tp_fn = build_fused_query_fn(
+        model_cfg, k=k, num_real=num_real, **common
+    )
+    tv, ti = tp_fn(params, emb, tokens, lengths)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(tv), np.asarray(rv))
+
+    # sharded: index rows over 'model' (per-shard t=4096, bt=512, nb=8)
+    mesh = make_mesh(data=1, model=2)
+    sh_fn = build_fused_query_fn(
+        model_cfg, k=k, num_real=num_real, mesh=mesh, **common
+    )
+    sv, si = sh_fn(params, emb, tokens, lengths)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
