@@ -617,12 +617,14 @@ def pick_twophase_block_t(
 
 
 def _blockmax_kernel(
-    nr_ref, q_ref, emb_ref, out_ref, rbk, *, k, block_t, int_exact
+    nr_ref, q_ref, emb_ref, out_ref, rbk, *, k, block_t, span, int_exact
 ):
-    """Phase 1: running top-k of packed block maxes, one per grid step.
+    """Phase 1: running top-k of packed block maxes, `span` blocks per
+    grid step (one emb DMA of span*block_t rows — amortizes per-step
+    fixed costs the same way the streaming kernel's dma_span does).
     Branch-free except the first/last-step init/copy."""
     i = pl.program_id(0)
-    nblocks = pl.num_programs(0)
+    nsteps = pl.num_programs(0)
     b = out_ref.shape[0]
 
     @pl.when(i == 0)
@@ -633,35 +635,42 @@ def _blockmax_kernel(
         rbk[:] = _INT_MIN + lane0
 
     num_real = nr_ref[0]
-    scores = _block_scores(q_ref[:], emb_ref[:], raw_int=int_exact)
-    row0 = i * block_t
-    # max FIRST, encode the [B, 1] result AFTER: key quantization is
-    # monotone, so enc(max(scores)) == max(enc(scores)) — the full-tile
-    # encode walks (+~8 ms/batch at B=4096, r5 phase bisect) never
-    # happen. Padding masks in raw score space with a [1, BT] broadcast
-    # iota (a full-tile [B, BT] iota is a materialized walk; the
-    # broadcast compare rides the reduce).
     col1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_t), 1)
     low = (
         jnp.int32(-_INT_SCORE_CLIP) if int_exact else jnp.float32(NEG)
     )
-    masked = jnp.where(row0 + col1 < num_real, scores, low)
-    bmax = jnp.max(masked, axis=1, keepdims=True)  # [B, 1] raw max
-    p1 = _enc_key(bmax, int_exact) | (_IDX_MASK - i)
-    # (a fully padded block yields the sink key on float paths / the
-    # clip-floor key on int8 — either loses to every real block, and
-    # phase 2's own column masking sinks its candidates regardless)
-    cur = rbk[:]
-    minv = jnp.min(cur, axis=1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
-    # first slot holding the min (stored keys are unique, but the
-    # iota-min form stays one-hot even if that invariant ever broke)
-    slot = jnp.min(
-        jnp.where(cur == minv, lane, k), axis=1, keepdims=True
-    )
-    rbk[:] = jnp.where((lane == slot) & (p1 > minv), p1, cur)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    for s in range(span):
+        blk = i * span + s
+        scores = _block_scores(
+            q_ref[:],
+            emb_ref[s * block_t : (s + 1) * block_t, :],
+            raw_int=int_exact,
+        )
+        row0 = blk * block_t
+        # max FIRST, encode the [B, 1] result AFTER: key quantization
+        # is monotone, so enc(max(scores)) == max(enc(scores)) — the
+        # full-tile encode walks (+~8 ms/batch at B=4096, r5 phase
+        # bisect) never happen. Padding masks in raw score space with
+        # a [1, BT] broadcast iota (a full-tile [B, BT] iota is a
+        # materialized walk; the broadcast compare rides the reduce).
+        masked = jnp.where(row0 + col1 < num_real, scores, low)
+        bmax = jnp.max(masked, axis=1, keepdims=True)  # [B, 1] raw max
+        p1 = _enc_key(bmax, int_exact) | (_IDX_MASK - blk)
+        # (a fully padded block yields the sink key on float paths /
+        # the clip-floor key on int8 — either loses to every real
+        # block, and phase 2's own column masking sinks its candidates
+        # regardless)
+        cur = rbk[:]
+        minv = jnp.min(cur, axis=1, keepdims=True)
+        # first slot holding the min (stored keys are unique, but the
+        # iota-min form stays one-hot even if that invariant ever broke)
+        slot = jnp.min(
+            jnp.where(cur == minv, lane, k), axis=1, keepdims=True
+        )
+        rbk[:] = jnp.where((lane == slot) & (p1 > minv), p1, cur)
 
-    @pl.when(i == nblocks - 1)
+    @pl.when(i == nsteps - 1)
     def _():
         out_ref[:] = rbk[:]
 
@@ -699,6 +708,9 @@ def fused_score_topk_twophase(
     num_real,  # int or traced int32 scalar
     block_t: int = 2048,
     pair_tile: int = 128,
+    span: int = 1,  # phase-1 blocks per grid step (one DMA of
+    #                 span*block_t rows) — amortizes per-step fixed
+    #                 costs; enable only on measured wins
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k (values, row indices) of q @ emb.T — the r5 two-phase
@@ -709,8 +721,11 @@ def fused_score_topk_twophase(
     lowest column. Requires k <= nblocks = T_pad/block_t <= 4096."""
     b, d = q.shape
     t_pad = emb.shape[0]
-    if t_pad % block_t:
-        raise ValueError(f"T_pad {t_pad} not a multiple of {block_t}")
+    if t_pad % (block_t * span):
+        raise ValueError(
+            f"T_pad {t_pad} not a multiple of block_t*span "
+            f"{block_t}*{span}"
+        )
     nblocks = t_pad // block_t
     if block_t > _IDX_MASK + 1 or nblocks > _IDX_MASK + 1:
         raise ValueError(
