@@ -744,13 +744,13 @@ def fused_score_topk_twophase(
     # ---- phase 1
     p1_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblocks,),
+        grid=(nblocks // span,),
         in_specs=[
             pl.BlockSpec(
                 (b, d), lambda i, nr: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (block_t, d), lambda i, nr: (i, 0),
+                (block_t * span, d), lambda i, nr: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -761,7 +761,8 @@ def fused_score_topk_twophase(
     )
     rbk = pl.pallas_call(
         functools.partial(
-            _blockmax_kernel, k=k, block_t=block_t, int_exact=int_exact
+            _blockmax_kernel, k=k, block_t=block_t, span=span,
+            int_exact=int_exact,
         ),
         grid_spec=p1_spec,
         out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),

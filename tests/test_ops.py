@@ -396,6 +396,23 @@ def test_twophase_matches_packed_interpret(k, num_real_off):
     np.testing.assert_array_equal(np.asarray(vals), np.asarray(evals))
 
 
+@pytest.mark.parametrize("span", [2, 4])
+def test_twophase_span_matches_span1_interpret(span):
+    """Phase-1 `span` (blocks per grid step, one DMA of span*block_t
+    rows) is a pure scheduling knob: selection AND values are
+    bit-identical to span=1 — incl. the padded tail block, whose
+    masking depends on the per-sub-block row0 the span loop computes."""
+    b, d, t = 8, 32, 1024
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(_bf16r(rng.normal(size=(b, d)).astype(np.float32)))
+    emb = jnp.asarray(_bf16r(rng.normal(size=(t, d)).astype(np.float32)))
+    num_real = t - 37
+    v1, i1 = _tp(q, emb, 10, num_real, block_t=64)
+    vs, ixs = _tp(q, emb, 10, num_real, block_t=64, span=span)
+    np.testing.assert_array_equal(np.asarray(ixs), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(v1))
+
+
 def test_twophase_massive_ties_interpret():
     """Tied quantized keys resolve to the earliest block then the lowest
     column — the streaming kernel's contract."""
